@@ -1,0 +1,173 @@
+"""Radix-2 evaluation domain (reference engine, exact ints).
+
+Implements the `ark-poly` domain behavior consumed by the reference
+(SURVEY.md §2.2 row "Radix-2 NTT"): construction rounding up to a power of
+two, forward/inverse NTT, coset domains via an offset, the vanishing
+polynomial Z(x) = x^n - 1, Lagrange-coefficient evaluation, and
+out-of-domain sampling (call sites: /root/reference/src/r1cs_to_qap.rs:133-141,
+201-234; src/generator.rs:88-90).
+
+Domain element order is [g*w^0, g*w^1, ..., g*w^{n-1}] (offset g = 1 for the
+plain domain); fft maps coefficients -> evaluations in that order, matching
+ark-poly's Radix2EvaluationDomain semantics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from groth16_tpu.curves.params import FieldParams
+
+
+class RefDomain:
+    def __init__(self, field: FieldParams, num_coeffs: int, offset: int = 1):
+        n = 1
+        log_n = 0
+        while n < num_coeffs:
+            n <<= 1
+            log_n += 1
+        if log_n > field.two_adicity:
+            raise ValueError("PolynomialDegreeTooLarge")
+        self.field = field
+        self.p = field.modulus
+        self.size = n
+        self.log_size = log_n
+        # group_gen = 2-adic root ^ (2^(s - log_n))
+        self.group_gen = pow(
+            field.two_adic_root_of_unity, 1 << (field.two_adicity - log_n), self.p
+        )
+        self.group_gen_inv = pow(self.group_gen, self.p - 2, self.p)
+        self.offset = offset % self.p
+        self.offset_inv = pow(self.offset, self.p - 2, self.p)
+        self.size_inv = pow(n, self.p - 2, self.p)
+
+    def get_coset(self, offset: int) -> "RefDomain":
+        d = RefDomain.__new__(RefDomain)
+        d.__dict__.update(self.__dict__)
+        d.offset = offset % self.p
+        d.offset_inv = pow(d.offset, self.p - 2, self.p)
+        return d
+
+    def elements(self) -> List[int]:
+        out, cur = [], self.offset
+        for _ in range(self.size):
+            out.append(cur)
+            cur = cur * self.group_gen % self.p
+        return out
+
+    # -- NTT ----------------------------------------------------------------
+
+    def _fft_core(self, vals: List[int], root: int) -> List[int]:
+        """In-order iterative radix-2 NTT (exact)."""
+        p, n = self.p, self.size
+        a = [v % p for v in vals]
+        assert len(a) == n
+        # bit-reverse permutation
+        j = 0
+        for i in range(1, n):
+            bit = n >> 1
+            while j & bit:
+                j ^= bit
+                bit >>= 1
+            j |= bit
+            if i < j:
+                a[i], a[j] = a[j], a[i]
+        length = 2
+        while length <= n:
+            wlen = pow(root, n // length, p)
+            for start in range(0, n, length):
+                w = 1
+                half = length // 2
+                for k in range(start, start + half):
+                    u, v = a[k], a[k + half] * w % p
+                    a[k] = (u + v) % p
+                    a[k + half] = (u - v) % p
+                    w = w * wlen % p
+            length <<= 1
+        return a
+
+    def fft(self, coeffs: List[int]) -> List[int]:
+        """coefficients -> evaluations on [offset * w^i]."""
+        p = self.p
+        c = list(coeffs) + [0] * (self.size - len(coeffs))
+        if self.offset != 1:
+            cur = 1
+            for i in range(self.size):
+                c[i] = c[i] * cur % p
+                cur = cur * self.offset % p
+        return self._fft_core(c, self.group_gen)
+
+    def ifft(self, evals: List[int]) -> List[int]:
+        """evaluations -> coefficients."""
+        p = self.p
+        c = self._fft_core(list(evals), self.group_gen_inv)
+        c = [v * self.size_inv % p for v in c]
+        if self.offset != 1:
+            cur = 1
+            for i in range(self.size):
+                c[i] = c[i] * cur % p
+                cur = cur * self.offset_inv % p
+        return c
+
+    # -- polynomial helpers ---------------------------------------------------
+
+    def evaluate_vanishing_polynomial(self, t: int) -> int:
+        """Z(t) = t^n * offset_pow_n_adjust - ... for plain domain: t^n - 1.
+
+        For a coset gH the vanishing polynomial is t^n - g^n; the reference
+        only calls this on plain domains and at the coset generator
+        (r1cs_to_qap.rs:137,224), where the plain-domain formula applies.
+        """
+        p = self.p
+        return (pow(t, self.size, p) - pow(self.offset, self.size, p)) % p
+
+    def evaluate_all_lagrange_coefficients(self, t: int) -> List[int]:
+        """[L_i(t)] for the domain points, matching ark-poly semantics.
+
+        If t is in the domain this degenerates to an indicator vector.
+        """
+        p, n = self.p, self.size
+        zt = self.evaluate_vanishing_polynomial(t)
+        if zt == 0:
+            # t = offset * w^i for some i
+            out = [0] * n
+            cur = self.offset
+            for i in range(n):
+                if cur == t % p:
+                    out[i] = 1
+                    return out
+                cur = cur * self.group_gen % p
+            raise AssertionError("vanishing but not found in domain")
+        # L_i(t) = Z(t) * w^i * offset^? / (n * offset^{n-1} * (t - g*w^i))
+        # Use the direct formula via batch inversion of (t - x_i).
+        xs = self.elements()
+        denoms = [(t - x) % p for x in xs]
+        inv_denoms = _batch_inv(denoms, p)
+        # L_i(t) = Z(t) / (Z'(x_i) * (t - x_i)); Z'(x) = n*x^{n-1} for x^n - g^n
+        out = []
+        gn = pow(self.offset, n, p)
+        for x, invd in zip(xs, inv_denoms):
+            zprime = n * pow(x, n - 1, p) % p
+            li = zt * pow(zprime, p - 2, p) % p * invd % p
+            out.append(li)
+        return out
+
+    def sample_element_outside_domain(self, rng) -> int:
+        t = rng.field_element(self.p)
+        while self.evaluate_vanishing_polynomial(t) == 0:
+            t = rng.field_element(self.p)
+        return t
+
+
+def _batch_inv(vals: List[int], p: int) -> List[int]:
+    """Montgomery batch inversion (zeros not allowed)."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % p
+    inv_all = pow(prefix[n], p - 2, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % p
+        inv_all = inv_all * vals[i] % p
+    return out
