@@ -1,0 +1,14 @@
+from groth16_tpu.protocol.data_structures import (
+    Proof,
+    ProvingKey,
+    VerifyingKey,
+    PreparedVerifyingKey,
+)
+from groth16_tpu.protocol.generator import generate_parameters_with_qap, setup
+from groth16_tpu.protocol.prover import create_proof_with_reduction, prove, rerandomize_proof
+from groth16_tpu.protocol.verifier import (
+    prepare_verifying_key,
+    prepare_inputs,
+    verify_proof,
+    verify_proof_with_prepared_inputs,
+)
