@@ -12,3 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: limb-engine graphs are big; recompiling them
+# on every pytest run would dominate wall-clock.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_g16")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
