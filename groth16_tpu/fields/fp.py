@@ -142,22 +142,31 @@ def mont_mul(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     batch_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, batch_shape + (L,))
     b = jnp.broadcast_to(b, batch_shape + (L,))
-    cols = jnp.zeros(batch_shape + (2 * L + 1,), dtype=_U32)
-    # full product columns
+    nd = len(batch_shape)
+
+    def _shifted(x, off, width):
+        # place x at column offset `off` in a width-column buffer (pad+concat
+        # lowering — never scatter)
+        return jnp.pad(x, [(0, 0)] * nd + [(off, width - off - x.shape[-1])])
+
+    W = 2 * L + 1
+    cols = jnp.zeros(batch_shape + (W,), dtype=_U32)
+    # full product columns (split 16-bit accumulation, bound < 2^23)
     for i in range(L):
         prod = a[..., i : i + 1] * b  # exact in uint32 (16x16)
-        cols = cols.at[..., i : i + L].add(prod & MASK)
-        cols = cols.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
+        cols = cols + _shifted(prod & MASK, i, W)
+        cols = cols + _shifted(prod >> LIMB_BITS, i + 1, W)
     # interleaved reduction: clear limb i with m = cols[i] * n0inv mod 2^16
     n0 = jnp.uint32(spec.n0inv)
     p_vec = jnp.asarray(np.array(spec.p_limbs, dtype=np.uint32))
     for i in range(L):
         m = (cols[..., i : i + 1] * n0) & MASK
         prod = m * p_vec
-        cols = cols.at[..., i : i + L].add(prod & MASK)
-        cols = cols.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
+        carry = (cols[..., i : i + 1] + ((prod[..., 0:1] & MASK))) >> LIMB_BITS
+        cols = cols + _shifted(prod & MASK, i, W)
+        cols = cols + _shifted(prod >> LIMB_BITS, i + 1, W)
         # limb i is now ≡ 0 mod 2^16; fold its carry upward
-        cols = cols.at[..., i + 1].add(cols[..., i] >> LIMB_BITS)
+        cols = cols + _shifted(carry, i + 1, W)
     out = _carry_chain([cols[..., k] for k in range(L, 2 * L)], L)
     return _join(out)
 

@@ -105,26 +105,30 @@ def make_spec(modulus: int, name: str = "fp") -> FpSpec:
 
 def encode(values, spec: FpSpec, mont: bool = True) -> np.ndarray:
     """python ints -> uint32[N, L] limbs (Montgomery form by default)."""
-    out = np.empty((len(values), spec.n_limbs), dtype=np.uint32)
+    nbytes = spec.n_limbs * 2
+    R, p = spec.R, spec.modulus
+    buf = bytearray(len(values) * nbytes)
     for i, v in enumerate(values):
-        v = v % spec.modulus
+        v = v % p
         if mont:
-            v = spec.to_mont_int(v)
-        for j in range(spec.n_limbs):
-            out[i, j] = v & LIMB_MASK
-            v >>= LIMB_BITS
-    return out
+            v = v * R % p
+        buf[i * nbytes : (i + 1) * nbytes] = v.to_bytes(nbytes, "little")
+    u16 = np.frombuffer(bytes(buf), dtype="<u2").reshape(len(values), spec.n_limbs)
+    return u16.astype(np.uint32)
 
 
 def decode(arr: np.ndarray, spec: FpSpec, mont: bool = True):
     """uint32[..., L] limbs -> list of python ints (canonical, [0, p))."""
     arr = np.asarray(arr)
-    flat = arr.reshape(-1, arr.shape[-1])
+    flat = arr.reshape(-1, arr.shape[-1]).astype("<u2")
+    raw = flat.tobytes()
+    nbytes = spec.n_limbs * 2
+    p = spec.modulus
+    rinv = pow(spec.R, p - 2, p) if mont else 1
     out = []
-    for row in flat:
-        v = limbs_to_int(row)
-        v %= spec.modulus
+    for i in range(flat.shape[0]):
+        v = int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "little") % p
         if mont:
-            v = spec.from_mont_int(v)
+            v = v * rinv % p
         out.append(v)
     return out

@@ -1,0 +1,197 @@
+"""Radix-2 (coset) NTT over the limb engine (single-chip).
+
+TPU-native realization of the `ark-poly` Radix2EvaluationDomain behavior
+consumed by the witness map (reference call sites:
+src/r1cs_to_qap.rs:201-234): in-place forward/inverse NTT on the subgroup
+H = <w> of size n, coset domains g*H via pre/post scaling, identical output
+ordering ([f(g*w^0), f(g*w^1), ...]) and 1/n normalization.
+
+Design (SURVEY.md §2.4 "ntt_cp"): the coefficient vector lives as
+uint32[n, L] limbs.  Each butterfly stage is one vectorized
+mont_mul + add/sub on [n/2, L] slices; twiddles come from a single
+device-built root-power table gathered per stage, so the whole transform
+is ~log2(n) * O(L) jaxpr ops.  Twiddle/offset power tables are built on
+device by log-doubling (no host bignum loops).
+
+The multi-chip all-to-all variant lives in par/ntt_sharded.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groth16_tpu.curves.params import FieldParams
+from groth16_tpu.fields import fp
+from groth16_tpu.fields.spec import FpSpec, make_spec
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ntt_core(spec: FpSpec):
+    return jax.jit(functools.partial(_ntt_core, spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_mul(spec: FpSpec):
+    return jax.jit(functools.partial(fp.mont_mul, spec))
+
+
+@functools.lru_cache(maxsize=None)
+def powers(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
+    """[base^0, ..., base^(n-1)] in Montgomery form, device-resident.
+
+    Built host-side (a power table is O(n) bignum muls, generated once per
+    domain and cached) and uploaded; avoids per-(spec, base, n) device
+    graph compiles."""
+    from groth16_tpu.fields.spec import encode
+
+    p = spec.modulus
+    vals = [0] * n
+    cur = 1
+    for i in range(n):
+        vals[i] = cur
+        cur = cur * base % p
+    return jnp.asarray(encode(vals, spec))
+
+
+def _bitrev_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _dif_tables(n: int):
+    """Per-stage gather tables for the in-place DIF network.
+
+    Stage s has block size m = n>>s, half h = m/2, in-block position
+    q = j mod m.  Position j pairs with j±h; the lower half takes u+v,
+    the upper half takes (u - v) * root^((q-h) * 2^s).
+    Returns (mask[log,n] bool lower-half, partner[log,n], twexp[log,n]).
+    """
+    log_n = n.bit_length() - 1
+    j = np.arange(n, dtype=np.int32)
+    masks, partners, twexps = [], [], []
+    for s in range(log_n):
+        m = n >> s
+        h = m >> 1
+        q = j & (m - 1)
+        lower = q < h
+        masks.append(lower)
+        partners.append(np.where(lower, j + h, j - h).astype(np.int32))
+        twexps.append(np.where(lower, 0, (q - h) << s).astype(np.int32))
+    return (
+        np.stack(masks),
+        np.stack(partners),
+        np.stack(twexps),
+    )
+
+
+def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.ndarray:
+    """Radix-2 DIF NTT, natural order in and out, given the [n, L] table of
+    root powers (pass inverse-root powers for the inverse transform).
+
+    One masked full-width butterfly body is compiled and iterated log2(n)
+    times via lax.fori_loop, so the jaxpr stays O(L) independent of n.
+    The twiddle multiply runs over all n lanes (twiddle exponent 0 in the
+    u-half) — 2x the minimal multiply work in exchange for a single
+    gather-based dataflow with no scatter; the Pallas kernel variant will
+    reclaim the factor.
+    """
+    n = a.shape[0]
+    log_n = n.bit_length() - 1
+    if log_n == 0:
+        return a
+    masks, partners, twexps = _dif_tables(n)
+    masks_d = jnp.asarray(masks)
+    partners_d = jnp.asarray(partners)
+    twexps_d = jnp.asarray(twexps)
+
+    def stage(s, x):
+        part = x[partners_d[s]]
+        tw = root_powers[twexps_d[s]]
+        sum_ = fp.add(spec, x, part)
+        diff = fp.mont_mul(spec, fp.sub(spec, part, x), tw)
+        return fp.select(masks_d[s], sum_, diff)
+
+    a = jax.lax.fori_loop(0, log_n, stage, a)
+    return a[jnp.asarray(_bitrev_perm(n))]
+
+
+class NttDomain:
+    """Evaluation domain of size n (power of two) over field `field`.
+
+    Mirrors RefDomain (groth16_tpu/ref/domain.py) semantics on device.
+    Tables are device-resident and cached per (field, n).
+    """
+
+    def __init__(self, field: FieldParams, num_coeffs: int):
+        n = 1
+        log_n = 0
+        while n < num_coeffs:
+            n <<= 1
+            log_n += 1
+        if log_n > field.two_adicity:
+            raise ValueError("PolynomialDegreeTooLarge")
+        self.field = field
+        self.spec = make_spec(field.modulus, name=field.name)
+        self.size = n
+        self.log_size = log_n
+        p = field.modulus
+        self.group_gen = pow(field.two_adic_root_of_unity, 1 << (field.two_adicity - log_n), p)
+        self.group_gen_inv = pow(self.group_gen, p - 2, p)
+        self.size_inv = pow(n, p - 2, p)
+
+    # -- cached device tables ------------------------------------------------
+
+    @functools.cached_property
+    def _fwd_powers(self) -> jnp.ndarray:
+        return powers(self.spec, self.group_gen, self.size)
+
+    @functools.cached_property
+    def _inv_powers(self) -> jnp.ndarray:
+        return powers(self.spec, self.group_gen_inv, self.size)
+
+    def _offset_powers(self, offset: int) -> jnp.ndarray:
+        return powers(self.spec, offset, self.size)
+
+    # -- transforms ------------------------------------------------------------
+
+    def fft(self, coeffs: jnp.ndarray, offset: int = 1) -> jnp.ndarray:
+        """coefficients -> evaluations on offset*H.  coeffs: uint32[n, L]
+        Montgomery form; shorter inputs must be pre-padded by the caller."""
+        spec = self.spec
+        a = coeffs
+        assert a.shape[0] == self.size
+        if offset != 1:
+            a = _jitted_mul(spec)(a, self._offset_powers(offset))
+        return _jitted_ntt_core(spec)(a, self._fwd_powers)
+
+    def ifft(self, evals: jnp.ndarray, offset: int = 1) -> jnp.ndarray:
+        spec = self.spec
+        a = _jitted_ntt_core(spec)(evals, self._inv_powers)
+        a = _jitted_mul(spec)(a, fp.const(spec, self.size_inv, (1,)))
+        if offset != 1:
+            p = self.field.modulus
+            a = _jitted_mul(spec)(a, self._offset_powers(pow(offset, p - 2, p)))
+        return a
+
+    def coset_fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """Evaluations on GENERATOR*H (r1cs_to_qap.rs:204-207)."""
+        return self.fft(coeffs, offset=self.field.generator)
+
+    def coset_ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
+        return self.ifft(evals, offset=self.field.generator)
+
+    # -- scalar helpers (host ints; O(1)) ---------------------------------------
+
+    def evaluate_vanishing_polynomial(self, t: int, offset: int = 1) -> int:
+        p = self.field.modulus
+        return (pow(t, self.size, p) - pow(offset, self.size, p)) % p
