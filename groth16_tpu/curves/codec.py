@@ -1,0 +1,103 @@
+"""Host <-> device codecs for points and scalars.
+
+Bridges the exact engine's representation (ints / (c0,c1) tuples, None for
+infinity) and the device structure-of-arrays limb tensors.  Used at the
+protocol boundary: proving keys are encoded once and stay device-resident
+(the `ConstraintMatrices + assignment` prover shape of
+/root/reference/src/prover.rs:26-51).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.params import CurveParams
+from groth16_tpu.fields.ops import Fp2Ops, FpOps
+from groth16_tpu.fields.spec import FpSpec, encode, decode, make_spec
+
+
+def g1_ops(c: CurveParams) -> JacobianDevice:
+    return JacobianDevice(FpOps(make_spec(c.p, name=f"{c.name}.Fq")))
+
+
+def g2_ops(c: CurveParams) -> JacobianDevice:
+    return JacobianDevice(
+        Fp2Ops(make_spec(c.p, name=f"{c.name}.Fq"), c.fp2_nonresidue)
+    )
+
+
+def scalars_to_device(values: Sequence[int], fr_spec: FpSpec) -> jnp.ndarray:
+    """Standard-form (non-Montgomery) scalar limbs for MSM digit slicing
+    (the into_bigint analog, prover.rs:64)."""
+    return jnp.asarray(encode(list(values), fr_spec, mont=False))
+
+
+def g1_to_device(c: CurveParams, pts: Sequence[Optional[Tuple[int, int]]]) -> Point:
+    """Affine G1 points -> Jacobian device batch (Z=1; None -> Z=0)."""
+    spec = make_spec(c.p, name=f"{c.name}.Fq")
+    xs = [p[0] if p is not None else 0 for p in pts]
+    ys = [p[1] if p is not None else 1 for p in pts]
+    inf = np.array([p is None for p in pts])
+    x = jnp.asarray(encode(xs, spec))
+    y = jnp.asarray(encode(ys, spec))
+    one = encode([1], spec)[0]
+    z = jnp.asarray(np.where(inf[:, None], np.zeros_like(one), one))
+    return (x, y, z)
+
+
+def g2_to_device(c: CurveParams, pts) -> Point:
+    """Affine G2 points ((c0,c1),(c0,c1)) -> Jacobian device batch."""
+    spec = make_spec(c.p, name=f"{c.name}.Fq")
+
+    def enc2(vals):  # list of (c0, c1) -> [N, 2, L]
+        flat = []
+        for v in vals:
+            flat.extend(v)
+        arr = encode(flat, spec)
+        return jnp.asarray(arr.reshape(len(vals), 2, spec.n_limbs))
+
+    xs = [p[0] if p is not None else (0, 0) for p in pts]
+    ys = [p[1] if p is not None else (1, 0) for p in pts]
+    inf = np.array([p is None for p in pts])
+    x = enc2(xs)
+    y = enc2(ys)
+    one = encode([1, 0], spec).reshape(2, spec.n_limbs)
+    z = jnp.asarray(np.where(inf[:, None, None], np.zeros_like(one), one))
+    return (x, y, z)
+
+
+def g1_from_device(c: CurveParams, g: JacobianDevice, pt: Point):
+    """Device Jacobian batch (or single point) -> list of exact affine."""
+    spec = g.k.spec
+    single = pt[2].ndim == g.k.coord_ndim
+    if single:
+        pt = tuple(a[None] for a in pt)
+    x, y, inf = g.to_affine(pt)
+    xs = decode(np.asarray(x), spec)
+    ys = decode(np.asarray(y), spec)
+    infs = np.asarray(inf)
+    out = [None if i else (xv, yv) for xv, yv, i in zip(xs, ys, infs)]
+    return out[0] if single else out
+
+
+def g2_from_device(c: CurveParams, g: JacobianDevice, pt: Point):
+    spec = g.k.spec
+    single = pt[2].ndim == g.k.coord_ndim
+    if single:
+        pt = tuple(a[None] for a in pt)
+    x, y, inf = g.to_affine(pt)
+    n = x.shape[0]
+    xs = decode(np.asarray(x).reshape(n * 2, -1), spec)
+    ys = decode(np.asarray(y).reshape(n * 2, -1), spec)
+    infs = np.asarray(inf)
+    out = [
+        None
+        if infs[i]
+        else ((xs[2 * i], xs[2 * i + 1]), (ys[2 * i], ys[2 * i + 1]))
+        for i in range(n)
+    ]
+    return out[0] if single else out

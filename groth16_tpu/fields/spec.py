@@ -52,6 +52,7 @@ class FpSpec:
     p_limbs: Tuple[int, ...]
     two_p_limbs: Tuple[int, ...]
     n0inv: int  # -p^-1 mod 2^16
+    nprime: int  # -p^-1 mod R (full-width, for non-interleaved REDC)
     r_mod_p: int
     r2_mod_p: int
     r_limbs: Tuple[int, ...]  # R mod p (standard form), as limbs
@@ -83,6 +84,7 @@ def make_spec(modulus: int, name: str = "fp") -> FpSpec:
     # the lane axis).
     R = 1 << (LIMB_BITS * n_limbs)
     n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+    nprime = (-pow(modulus, -1, R)) % R
     r_mod_p = R % modulus
     r2_mod_p = R * R % modulus
     return FpSpec(
@@ -92,6 +94,7 @@ def make_spec(modulus: int, name: str = "fp") -> FpSpec:
         p_limbs=int_to_limbs(modulus, n_limbs),
         two_p_limbs=int_to_limbs(2 * modulus, n_limbs + 1),
         n0inv=n0inv,
+        nprime=nprime,
         r_mod_p=r_mod_p,
         r2_mod_p=r2_mod_p,
         r_limbs=int_to_limbs(r_mod_p, n_limbs),

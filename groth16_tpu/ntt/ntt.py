@@ -7,13 +7,14 @@ H = <w> of size n, coset domains g*H via pre/post scaling, identical output
 ordering ([f(g*w^0), f(g*w^1), ...]) and 1/n normalization.
 
 Design (SURVEY.md §2.4 "ntt_cp"): the coefficient vector lives as
-uint32[n, L] limbs.  Each butterfly stage is one vectorized
-mont_mul + add/sub on [n/2, L] slices; twiddles come from a single
-device-built root-power table gathered per stage, so the whole transform
-is ~log2(n) * O(L) jaxpr ops.  Twiddle/offset power tables are built on
+uint32[..., n, L] limbs (leading batch dims supported — the sharded
+four-step transform in par/ntt_cp.py runs row-batches).  Each butterfly
+stage is one vectorized mont_mul + add/sub on full-width slices inside a
+`lax.fori_loop`, so the whole transform is an O(L)-primitive graph
+executed log2(n) times.  Twiddle and offset power tables are built on
 device by log-doubling (no host bignum loops).
 
-The multi-chip all-to-all variant lives in par/ntt_sharded.py.
+The multi-chip all-to-all variant lives in par/ntt_cp.py.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import numpy as np
 
 from groth16_tpu.curves.params import FieldParams
 from groth16_tpu.fields import fp
-from groth16_tpu.fields.spec import FpSpec, make_spec
+from groth16_tpu.fields.spec import FpSpec, encode, make_spec
 
 
 @functools.lru_cache(maxsize=None)
@@ -40,22 +41,32 @@ def _jitted_mul(spec: FpSpec):
     return jax.jit(functools.partial(fp.mont_mul, spec))
 
 
+def powers_device(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
+    """[base^0, ..., base^(n-1)] in Montgomery form, built on device by
+    log-doubling: p_{2k} = p_k * (base^k); log2(n) wide multiplies."""
+    assert n & (n - 1) == 0, "power-of-two table"
+    p = spec.modulus
+    cur = jnp.asarray(encode([1], spec))  # [1, L]
+    length = 1
+    b_pow = base % p
+    while length < n:
+        scale = jnp.asarray(encode([b_pow], spec))
+        nxt = fp.mont_mul(spec, cur, scale)
+        cur = jnp.concatenate([cur, nxt], axis=0)
+        b_pow = b_pow * b_pow % p
+        length *= 2
+    return cur
+
+
 @functools.lru_cache(maxsize=None)
 def powers(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
-    """[base^0, ..., base^(n-1)] in Montgomery form, device-resident.
+    """Cached device-resident power table.
 
-    Built host-side (a power table is O(n) bignum muls, generated once per
-    domain and cached) and uploaded; avoids per-(spec, base, n) device
-    graph compiles."""
-    from groth16_tpu.fields.spec import encode
-
-    p = spec.modulus
-    vals = [0] * n
-    cur = 1
-    for i in range(n):
-        vals[i] = cur
-        cur = cur * base % p
-    return jnp.asarray(encode(vals, spec))
+    Built eagerly even when first requested inside a jit trace
+    (ensure_compile_time_eval), so the cache always holds concrete
+    arrays, never tracers."""
+    with jax.ensure_compile_time_eval():
+        return jax.block_until_ready(powers_device(spec, base, n))
 
 
 def _bitrev_perm(n: int) -> np.ndarray:
@@ -95,17 +106,13 @@ def _dif_tables(n: int):
 
 
 def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.ndarray:
-    """Radix-2 DIF NTT, natural order in and out, given the [n, L] table of
-    root powers (pass inverse-root powers for the inverse transform).
+    """Radix-2 DIF NTT along axis -2; natural order in and out.
 
-    One masked full-width butterfly body is compiled and iterated log2(n)
-    times via lax.fori_loop, so the jaxpr stays O(L) independent of n.
-    The twiddle multiply runs over all n lanes (twiddle exponent 0 in the
-    u-half) — 2x the minimal multiply work in exchange for a single
-    gather-based dataflow with no scatter; the Pallas kernel variant will
-    reclaim the factor.
+    a: uint32[..., n, L]; root_powers: [n, L] table (pass inverse-root
+    powers for the inverse transform).  One masked full-width butterfly
+    body is compiled and iterated log2(n) times via lax.fori_loop.
     """
-    n = a.shape[0]
+    n = a.shape[-2]
     log_n = n.bit_length() - 1
     if log_n == 0:
         return a
@@ -115,14 +122,14 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
     twexps_d = jnp.asarray(twexps)
 
     def stage(s, x):
-        part = x[partners_d[s]]
-        tw = root_powers[twexps_d[s]]
+        part = jnp.take(x, partners_d[s], axis=-2)
+        tw = jnp.take(root_powers, twexps_d[s], axis=0)
         sum_ = fp.add(spec, x, part)
         diff = fp.mont_mul(spec, fp.sub(spec, part, x), tw)
         return fp.select(masks_d[s], sum_, diff)
 
     a = jax.lax.fori_loop(0, log_n, stage, a)
-    return a[jnp.asarray(_bitrev_perm(n))]
+    return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-2)
 
 
 class NttDomain:
@@ -169,7 +176,7 @@ class NttDomain:
         Montgomery form; shorter inputs must be pre-padded by the caller."""
         spec = self.spec
         a = coeffs
-        assert a.shape[0] == self.size
+        assert a.shape[-2] == self.size
         if offset != 1:
             a = _jitted_mul(spec)(a, self._offset_powers(offset))
         return _jitted_ntt_core(spec)(a, self._fwd_powers)

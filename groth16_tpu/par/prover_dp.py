@@ -1,0 +1,250 @@
+"""Multi-chip Groth16 prover: sharded witness map + sharded MSMs.
+
+Composes the parallel components of SURVEY.md §2.4 into one jitted
+multi-device prove step:
+  - NTT pipeline (7 transforms) via the four-step all-to-all ShardedNtt
+    (par/ntt_cp.py) on coefficient vectors sharded over the mesh axis;
+  - the four G1 MSMs as one vmapped-and-sharded Pippenger inside a
+    single shard_map (all_gather of S partials + log2(S) tree combine);
+  - the G2 MSM the same way;
+  - O(1) assembly replicated.
+
+The sparse witness evaluation (O(nnz) field ops) stays replicated — it
+is two orders of magnitude lighter than the NTTs/MSMs it feeds
+(SURVEY.md §3.2 hot-loop table).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from groth16_tpu.curves import codec
+from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.params import get_curve
+from groth16_tpu.fields import fp
+from groth16_tpu.fields.spec import encode, make_spec
+from groth16_tpu.msm.pippenger import msm_device
+from groth16_tpu.ntt.ntt import NttDomain
+from groth16_tpu.par.mesh import DATA_AXIS, make_mesh
+from groth16_tpu.par.ntt_cp import ShardedNtt
+from groth16_tpu.protocol.data_structures import Proof, ProvingKey
+from groth16_tpu.protocol.device_keys import DeviceProvingKey, upload_proving_key
+from groth16_tpu.protocol.prover_tpu import (
+    decode_proof_arrays,
+    scalar_bits_array,
+)
+from groth16_tpu.qap.device import sparse_matvec
+from groth16_tpu.r1cs.matrices import ConstraintMatrices
+
+
+def msm_sharded_lanes(
+    g: JacobianDevice,
+    points: Point,  # [lanes, N, ...] stacked, sharded on axis 1
+    scalars: jnp.ndarray,  # [lanes, N, Ls]
+    scalar_bits: int,
+    mesh,
+    axis: str = DATA_AXIS,
+    window_bits: int | None = None,
+) -> Point:
+    """Per-lane MSM over a sharded point axis; returns [lanes] points
+    (replicated).  Local full Pippenger per (lane, shard), then an
+    all_gather of the S partials and a log2(S) halving combine."""
+    S = mesh.shape[axis]
+    assert scalars.shape[1] % S == 0
+
+    def local(pts, sc):
+        acc = jax.vmap(
+            lambda P_, s_: msm_device(g, P_, s_, scalar_bits, window_bits)
+        )(pts, sc)
+        gathered = tuple(
+            jax.lax.all_gather(x, axis, axis=1) for x in acc
+        )  # [lanes, S, ...]
+        m = S
+        red = gathered
+        while m > 1:
+            h = m // 2
+            red = g.add(
+                tuple(x[:, :h] for x in red), tuple(x[:, h:m] for x in red)
+            )
+            m = h
+        return tuple(x[:, 0] for x in red)
+
+    lanes_specs = tuple(P(None, axis) for _ in range(3))
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(lanes_specs, P(None, axis)),
+        out_specs=tuple(P() for _ in range(3)),
+        check_vma=False,
+    )(points, scalars)
+
+
+def witness_map_sharded(
+    spec, sntt: ShardedNtt, mats, z_mont, num_inputs, num_constraints, mesh,
+    axis: str = DATA_AXIS,
+):
+    """Sharded witness map (r1cs_to_qap.rs:172-235): replicated sparse
+    matvec, sharded NTT pipeline."""
+    n = sntt.domain.size
+    shard = NamedSharding(mesh, P(axis))
+
+    def zero_pad(x):
+        if x.shape[0] < n:
+            x = jnp.concatenate(
+                [x, fp.zeros(spec, (n - x.shape[0],))], axis=0
+            )
+        return jax.lax.with_sharding_constraint(x, shard)
+
+    a = sparse_matvec(spec, mats["a"], z_mont)
+    b = sparse_matvec(spec, mats["b"], z_mont)
+    a = jnp.concatenate([a[:num_constraints], z_mont[:num_inputs]], axis=0)
+    a = zero_pad(a)
+    b = zero_pad(b[:num_constraints])
+
+    a = sntt.coset_fft(sntt.ifft(a))
+    b = sntt.coset_fft(sntt.ifft(b))
+    ab = fp.mont_mul(spec, a, b)
+
+    c = sparse_matvec(spec, mats["c"], z_mont)
+    c = zero_pad(c[:num_constraints])
+    c = sntt.coset_fft(sntt.ifft(c))
+
+    p = spec.modulus
+    zg = sntt.domain.evaluate_vanishing_polynomial(sntt.domain.field.generator)
+    zg_inv = pow(zg, p - 2, p)
+    ab = fp.mont_mul(spec, fp.sub(spec, ab, c), fp.const(spec, zg_inv, (1,)))
+    return sntt.coset_ifft(ab)
+
+
+class ShardedProver:
+    """Multi-device prover over a 1D mesh (SURVEY.md §2.4 msm_dp+ntt_cp)."""
+
+    def __init__(self, pk: ProvingKey, matrices: ConstraintMatrices, mesh=None,
+                 axis: str = DATA_AXIS):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.curve = pk.vk.curve
+        self.c = get_curve(self.curve)
+        self.fr = make_spec(self.c.r, name=f"{self.curve}.Fr")
+        S = self.mesh.shape[axis]
+        self.dpk = upload_proving_key(pk, matrices, pad_multiple=S)
+        self.sntt = ShardedNtt(self.dpk.domain, self.mesh, axis)
+        self._jit = jax.jit(
+            functools.partial(_prove_sharded, self.curve, self.mesh, self.axis)
+        )
+
+    def encode_assignment(self, full_assignment):
+        return jnp.asarray(encode(list(full_assignment), self.fr))
+
+    def prove(self, full_assignment, r: int, s: int) -> Proof:
+        rr = self.c.r
+        r %= rr
+        s %= rr
+        nbits = rr.bit_length()
+        z = self.encode_assignment(full_assignment)
+        out = self._jit(
+            self.dpk,
+            z,
+            scalar_bits_array(r, nbits),
+            scalar_bits_array(s, nbits),
+            scalar_bits_array(r * s % rr, nbits),
+        )
+        return decode_proof_arrays(self.curve, out)
+
+
+def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
+                   r_bits, s_bits, rs_bits):
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    g1 = codec.g1_ops(c)
+    g2 = codec.g2_ops(c)
+    sbits = c.r.bit_length()
+    num_inputs = dpk.num_inputs
+    sntt = ShardedNtt(dpk.domain, mesh, axis)
+
+    h_mont = witness_map_sharded(
+        fr, sntt, dpk.mats, z_mont, num_inputs, dpk.num_constraints, mesh, axis
+    )
+    h_std = fp.from_mont(fr, h_mont)
+    z_std = fp.from_mont(fr, z_mont)
+    rho_std = z_std[1:]
+    aux_std = z_std[num_inputs:]
+
+    n_pad = dpk.n_pad
+
+    def pad_to(s):
+        return jnp.pad(s, ((0, n_pad - s.shape[0]), (0, 0)))
+
+    shard2 = NamedSharding(mesh, P(None, axis))
+    scalars4 = jnp.stack(
+        [
+            pad_to(rho_std),
+            pad_to(rho_std),
+            pad_to(h_std[: dpk.n_h]),
+            pad_to(aux_std[: dpk.n_aux]),
+        ],
+        axis=0,
+    )
+    scalars4 = jax.lax.with_sharding_constraint(scalars4, shard2)
+    acc4 = msm_sharded_lanes(g1, dpk.g1_msm_points, scalars4, sbits, mesh, axis)
+    a_acc = tuple(x[0] for x in acc4)
+    b1_acc = tuple(x[1] for x in acc4)
+    h_acc = tuple(x[2] for x in acc4)
+    l_aux_acc = tuple(x[3] for x in acc4)
+
+    # G2 MSM: single lane, padded to a shardable length
+    S = mesh.shape[axis]
+    n2 = rho_std.shape[0]
+    n2_pad = -(-n2 // S) * S
+    g2_pts = dpk.b_g2_tail
+    if n2_pad != n2:
+        inf = g2.infinity((n2_pad - n2,))
+        g2_pts = tuple(
+            jnp.concatenate([a, b], axis=0) for a, b in zip(g2_pts, inf)
+        )
+    sc2 = jnp.pad(rho_std, ((0, n2_pad - n2), (0, 0)))
+    b2_acc_l = msm_sharded_lanes(
+        g2,
+        tuple(x[None] for x in g2_pts),
+        sc2[None],
+        sbits,
+        mesh,
+        axis,
+    )
+    b2_acc = tuple(x[0] for x in b2_acc_l)
+
+    delta3 = tuple(jnp.stack([x, x, x], axis=0) for x in dpk.delta_g1)
+    bits3 = jnp.stack([r_bits, s_bits, rs_bits], axis=0)
+    rsd = g1.scalar_mul_bits(delta3, bits3)
+    r_delta, s_delta, rs_delta = (g1.index(rsd, i) for i in range(3))
+
+    def finish(initial, q0, acc, vk_param):
+        res = g1.add(initial, q0)
+        res = g1.add(res, acc)
+        return g1.add(res, vk_param)
+
+    g_a = finish(r_delta, dpk.a0, a_acc, dpk.alpha_g1)
+    g1_b = finish(s_delta, dpk.b10, b1_acc, dpk.beta_g1)
+    s_delta_g2 = g2.scalar_mul_bits(dpk.delta_g2, s_bits)
+    g2_b = g2.add(g2.add(g2.add(s_delta_g2, dpk.b20), b2_acc), dpk.beta_g2)
+
+    ab = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g1_b))
+    bits2 = jnp.stack([s_bits, r_bits], axis=0)
+    sab = g1.scalar_mul_bits(ab, bits2)
+    s_g_a = g1.index(sab, 0)
+    r_g1_b = g1.index(sab, 1)
+
+    g_c = g1.add(s_g_a, r_g1_b)
+    g_c = g1.add(g_c, g1.neg(rs_delta))
+    g_c = g1.add(g_c, l_aux_acc)
+    g_c = g1.add(g_c, h_acc)
+
+    ac = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g_c))
+    ax, ay, ainf = g1.to_affine(ac)
+    b_batch = tuple(x[None] for x in g2_b)
+    bx, by, binf = g2.to_affine(b_batch)
+    return (ax, ay, ainf, bx, by, binf)

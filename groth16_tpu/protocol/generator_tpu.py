@@ -1,0 +1,174 @@
+"""Trusted setup with device fixed-base batch muls (the setup hot loop).
+
+Mirrors generate_parameters_with_qap (/root/reference/src/generator.rs:47-208,
+SURVEY.md §3.1) exactly, but the ~5 G1 + 1 G2 fixed-base batch
+multiplications — the dominant cost (generator.rs:129-183) — run on device
+via the shared-window-table kernel (msm/fixed_base.py).  The QAP instance
+map (Lagrange evaluation + sparse accumulate) stays on the host exact
+engine for now; it is O(n) field ops vs. O(n * bits) group ops for the
+batch muls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import jax
+import numpy as np
+
+from groth16_tpu.curves import codec
+from groth16_tpu.curves.params import get_curve
+from groth16_tpu.fields.spec import make_spec
+from groth16_tpu.msm.fixed_base import batch_mul_device, build_window_table
+from groth16_tpu.protocol.data_structures import ProvingKey, VerifyingKey
+from groth16_tpu.qap.reduction import LibsnarkReduction
+from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisError, SynthesisMode
+from groth16_tpu.ref.domain import RefDomain
+from groth16_tpu.utils.rng import Rng
+
+
+def _window_bits(num_scalars: int) -> int:
+    # table build costs 2*2^c adds/window; lookups cost 1 add/scalar/window
+    best, best_cost = 4, None
+    for c in range(4, 15):
+        cost = (num_scalars + 2 * (1 << c)) / c
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+class _DeviceBatchMul:
+    """One window table per (curve group, generator); batch_mul on device."""
+
+    def __init__(self, g, base_affine, to_device, from_device, bits: int, n_hint: int):
+        self.g = g
+        self.bits = bits
+        self.c = _window_bits(max(n_hint, 1))
+        self.num_windows = -(-bits // self.c)
+        base = to_device([base_affine])
+        base_single = tuple(a[0] for a in base)
+        self.table = jax.jit(
+            lambda b: build_window_table(self.g, b, self.c, self.num_windows),
+        )(base_single)
+        self.from_device = from_device
+
+    def __call__(self, fr_spec, scalars: Sequence[int]) -> List:
+        if len(scalars) == 0:
+            return []
+        s = codec.scalars_to_device(list(scalars), fr_spec)
+        out = batch_mul_device(self.g, self.table, s, self.c, self.bits)
+        return self.from_device(out)
+
+
+def generate_parameters_with_qap_device(
+    circuit: Callable,
+    curve: str,
+    alpha: int,
+    beta: int,
+    gamma: int,
+    delta: int,
+    g1_generator,
+    g2_generator,
+    rng: Rng,
+    qap=LibsnarkReduction,
+) -> ProvingKey:
+    c = get_curve(curve)
+    r = c.r
+    fr = c.fr
+    fr_spec = make_spec(r, name=f"{curve}.Fr")
+
+    cs = ConstraintSystem(r, mode=SynthesisMode.SETUP)
+    circuit(cs)
+    matrices = cs.to_matrices()
+
+    domain = RefDomain(fr, cs.num_constraints + cs.num_instance_variables)
+    t = domain.sample_element_outside_domain(rng)
+
+    a, b, c_evals, zt, qap_num_variables, m_raw = qap.instance_map_with_evaluation(
+        matrices, fr, t
+    )
+
+    if gamma % r == 0 or delta % r == 0:
+        raise SynthesisError(SynthesisError.Kind.UNEXPECTED_IDENTITY)
+    gamma_inv = pow(gamma, r - 2, r)
+    delta_inv = pow(delta, r - 2, r)
+
+    num_instance = cs.num_instance_variables
+    gamma_abc = [
+        (beta * a[i] + alpha * b[i] + c_evals[i]) % r * gamma_inv % r
+        for i in range(num_instance)
+    ]
+    l_scalars = [
+        (beta * a[i] + alpha * b[i] + c_evals[i]) % r * delta_inv % r
+        for i in range(num_instance, qap_num_variables + 1)
+    ]
+    h_scalars = qap.h_query_scalars(m_raw - 1, t, zt, delta_inv, fr)
+
+    bits = r.bit_length()
+    g1 = codec.g1_ops(c)
+    g2 = codec.g2_ops(c)
+    n_hint = len(a)
+    bm_g1 = _DeviceBatchMul(
+        g1, g1_generator,
+        lambda pts: codec.g1_to_device(c, pts),
+        lambda pt: codec.g1_from_device(c, g1, _affine_batch(g1, pt)),
+        bits, n_hint,
+    )
+    bm_g2 = _DeviceBatchMul(
+        g2, g2_generator,
+        lambda pts: codec.g2_to_device(c, pts),
+        lambda pt: codec.g2_from_device(c, g2, _affine_batch(g2, pt)),
+        bits, n_hint,
+    )
+
+    b_g2_query = bm_g2(fr_spec, b)
+    a_query = bm_g1(fr_spec, a)
+    b_g1_query = bm_g1(fr_spec, b)
+    h_query = bm_g1(fr_spec, h_scalars)
+    l_query = bm_g1(fr_spec, l_scalars)
+    gamma_abc_g1 = bm_g1(fr_spec, gamma_abc)
+    sm1 = bm_g1(fr_spec, [alpha, beta, delta])
+    sm2 = bm_g2(fr_spec, [beta, gamma, delta])
+
+    vk = VerifyingKey(
+        curve=curve,
+        alpha_g1=sm1[0],
+        beta_g2=sm2[0],
+        gamma_g2=sm2[1],
+        delta_g2=sm2[2],
+        gamma_abc_g1=gamma_abc_g1,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=sm1[1],
+        delta_g1=sm1[2],
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        h_query=h_query,
+        l_query=l_query,
+    )
+
+
+def _affine_batch(g, pt):
+    # batch_mul_device returns Jacobian; from_device paths expect Jacobian
+    return pt
+
+
+def setup_device(circuit: Callable, curve: str, rng: Rng, qap=LibsnarkReduction):
+    """SNARK::circuit_specific_setup analog with device batch muls."""
+    from groth16_tpu.ref.curve import RefGroups
+
+    c = get_curve(curve)
+    r = c.r
+    alpha = rng.field_element(r)
+    beta = rng.field_element(r)
+    gamma = rng.field_element(r)
+    delta = rng.field_element(r)
+    groups = RefGroups(curve)
+    g1 = groups.g1_mul(groups.g1_sample(seed=rng.u64() % 1000 + 1), rng.nonzero_field_element(r))
+    g2 = groups.g2_mul(groups.g2_sample(seed=rng.u64() % 1000 + 1), rng.nonzero_field_element(r))
+    pk = generate_parameters_with_qap_device(
+        circuit, curve, alpha, beta, gamma, delta, g1, g2, rng, qap=qap
+    )
+    return pk, pk.vk

@@ -1,0 +1,194 @@
+"""Device prover: the full Groth16 prove as one jitted device program.
+
+TPU realization of create_proof_with_reduction_and_matrices
+(/root/reference/src/prover.rs:26-51 + :54-132; math spec SURVEY.md
+§2.3(3)): witness map (7 NTTs + sparse matvecs) -> MSMs -> O(1) group
+assembly -> batched to_affine.  Bit-identical to the exact prover
+(tested in tests/test_prover_device.py).
+
+Graph shape: the four G1 MSMs (h, l, a, b1) run as ONE vmapped MSM over
+the device key's stacked [4, N] point tensor; the G2 MSM is separate;
+the O(1) scalar multiplications (r/s/rs * delta, s*A, r*B1) are batched
+into two fori-loop double-and-add sweeps.  Scalars enter MSMs in
+standard form (the into_bigint analog, prover.rs:64) via an on-device
+from_mont pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groth16_tpu.curves import codec
+from groth16_tpu.curves.params import get_curve
+from groth16_tpu.fields import fp
+from groth16_tpu.fields.spec import decode, encode, make_spec
+from groth16_tpu.msm.pippenger import msm_device
+from groth16_tpu.protocol.data_structures import Proof, ProvingKey
+from groth16_tpu.protocol.device_keys import DeviceProvingKey, upload_proving_key
+from groth16_tpu.qap.device import witness_map_device
+from groth16_tpu.r1cs.matrices import ConstraintMatrices
+
+
+def scalar_bits_array(v: int, nbits: int) -> jnp.ndarray:
+    """Host int -> uint32[nbits] little-endian bit array (for the O(1)
+    r/s/rs scalar muls in proof assembly)."""
+    return jnp.asarray(
+        np.array([(v >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+
+
+def _pad_scalars(s: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    n = s.shape[0]
+    if n == n_pad:
+        return s
+    return jnp.pad(s, ((0, n_pad - n), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _prove_jit(
+    curve: str,
+    dpk: DeviceProvingKey,
+    z_mont: jnp.ndarray,
+    r_bits: jnp.ndarray,
+    s_bits: jnp.ndarray,
+    rs_bits: jnp.ndarray,
+):
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    g1 = codec.g1_ops(c)
+    g2 = codec.g2_ops(c)
+    sbits = c.r.bit_length()
+    num_inputs = dpk.num_inputs
+    domain = dpk.domain
+
+    # witness map -> h (Montgomery), then standard form for MSM digits
+    h_mont = witness_map_device(
+        fr, domain, dpk.mats, z_mont, num_inputs, dpk.num_constraints
+    )
+    h_std = fp.from_mont(fr, h_mont)
+    z_std = fp.from_mont(fr, z_mont)
+    rho_std = z_std[1:]
+    aux_std = z_std[num_inputs:]
+
+    # one vmapped G1 MSM over 4 lanes: a_query[1:], b_g1_query[1:],
+    # h_query (zip-truncated to n-1), l_query (prover.rs:63-113)
+    n_pad = dpk.n_pad
+    scalars4 = jnp.stack(
+        [
+            _pad_scalars(rho_std, n_pad),
+            _pad_scalars(rho_std, n_pad),
+            _pad_scalars(h_std[: dpk.n_h], n_pad),
+            _pad_scalars(aux_std[: dpk.n_aux], n_pad),
+        ],
+        axis=0,
+    )
+    msm4 = jax.vmap(
+        lambda P, s: msm_device(g1, P, s, sbits), in_axes=(0, 0)
+    )
+    acc4 = msm4(dpk.g1_msm_points, scalars4)
+    a_acc = tuple(x[0] for x in acc4)
+    b1_acc = tuple(x[1] for x in acc4)
+    h_acc = tuple(x[2] for x in acc4)
+    l_aux_acc = tuple(x[3] for x in acc4)
+
+    b2_acc = msm_device(g2, dpk.b_g2_tail, rho_std, sbits)
+
+    # batched O(1) scalar muls: [r, s, rs] * delta_g1
+    delta3 = tuple(jnp.stack([x, x, x], axis=0) for x in dpk.delta_g1)
+    bits3 = jnp.stack([r_bits, s_bits, rs_bits], axis=0)
+    rsd = g1.scalar_mul_bits(delta3, bits3)
+    r_delta = g1.index(rsd, 0)
+    s_delta = g1.index(rsd, 1)
+    rs_delta = g1.index(rsd, 2)
+
+    # calculate_coeff (prover.rs:252-270) for A, B1; B2 in G2
+    def finish(initial, q0, acc, vk_param):
+        res = g1.add(initial, q0)
+        res = g1.add(res, acc)
+        return g1.add(res, vk_param)
+
+    g_a = finish(r_delta, dpk.a0, a_acc, dpk.alpha_g1)
+    g1_b = finish(s_delta, dpk.b10, b1_acc, dpk.beta_g1)
+
+    s_delta_g2 = g2.scalar_mul_bits(dpk.delta_g2, s_bits)
+    g2_b = g2.add(g2.add(g2.add(s_delta_g2, dpk.b20), b2_acc), dpk.beta_g2)
+
+    # s*A and r*B1, batched
+    ab = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g1_b))
+    bits2 = jnp.stack([s_bits, r_bits], axis=0)
+    sab = g1.scalar_mul_bits(ab, bits2)
+    s_g_a = g1.index(sab, 0)
+    r_g1_b = g1.index(sab, 1)
+    # r == 0 => B1 contribution must vanish (prover.rs:98-108); r*B1 is
+    # already infinity when r == 0, so no special-casing is needed.
+
+    g_c = g1.add(s_g_a, r_g1_b)
+    g_c = g1.add(g_c, g1.neg(rs_delta))
+    g_c = g1.add(g_c, l_aux_acc)
+    g_c = g1.add(g_c, h_acc)
+
+    # batched to_affine: A and C share one G1 batch inversion
+    ac = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g_c))
+    ax, ay, ainf = g1.to_affine(ac)
+    b_batch = tuple(x[None] for x in g2_b)
+    bx, by, binf = g2.to_affine(b_batch)
+    return (ax, ay, ainf, bx, by, binf)
+
+
+class TpuProver:
+    """Per-(pk, circuit-shape) prover; holds the device key mirror."""
+
+    def __init__(self, pk: ProvingKey, matrices: ConstraintMatrices):
+        self.pk = pk
+        self.curve = pk.vk.curve
+        self.c = get_curve(self.curve)
+        self.fr = make_spec(self.c.r, name=f"{self.curve}.Fr")
+        self.dpk = upload_proving_key(pk, matrices)
+
+    def encode_assignment(self, full_assignment: List[int]) -> jnp.ndarray:
+        return jnp.asarray(encode(list(full_assignment), self.fr))
+
+    def prove(self, full_assignment: List[int], r: int, s: int) -> Proof:
+        rr = self.c.r
+        r %= rr
+        s %= rr
+        z = self.encode_assignment(full_assignment)
+        out = self.prove_encoded(z, r, s)
+        return decode_proof_arrays(self.curve, out)
+
+    def prove_encoded(self, z_mont: jnp.ndarray, r: int, s: int):
+        rr = self.c.r
+        nbits = rr.bit_length()
+        return _prove_jit(
+            self.curve,
+            self.dpk,
+            z_mont,
+            scalar_bits_array(r, nbits),
+            scalar_bits_array(s, nbits),
+            scalar_bits_array(r * s % rr, nbits),
+        )
+
+
+def decode_proof_arrays(curve: str, out) -> Proof:
+    """(ax, ay, ainf, bx, by, binf) device arrays -> host Proof."""
+    c = get_curve(curve)
+    ax, ay, ainf, bx, by, binf = out
+    spec = make_spec(c.p, name=f"{curve}.Fq")
+    xs = decode(np.asarray(ax), spec)
+    ys = decode(np.asarray(ay), spec)
+    infs = np.asarray(ainf)
+    a_pt = None if infs[0] else (xs[0], ys[0])
+    c_pt = None if infs[1] else (xs[1], ys[1])
+    bx_v = decode(np.asarray(bx).reshape(2, -1), spec)
+    by_v = decode(np.asarray(by).reshape(2, -1), spec)
+    b_pt = (
+        None
+        if np.asarray(binf)[0]
+        else ((bx_v[0], bx_v[1]), (by_v[0], by_v[1]))
+    )
+    return Proof(curve=curve, a=a_pt, b=b_pt, c=c_pt)

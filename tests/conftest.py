@@ -5,13 +5,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The axon sitecustomize imports jax at interpreter start with
 # JAX_PLATFORMS=axon, so env tweaks here are too late; update the config
-# instead (backends initialize lazily at first use).  Tests run on the CPU
-# backend with 8 virtual devices so multi-chip sharding is exercised
-# without TPU hardware (SURVEY.md §4).
+# instead (backends initialize lazily at first use).
+#
+# Platform policy:
+#   GROTH16_TEST_PLATFORM=cpu  (default) — CPU backend with 8 virtual
+#     devices so multi-chip sharding is exercised without TPU hardware
+#     (SURVEY.md §4).  The limb-engine graphs compile ~20x slower on the
+#     CPU backend (LLVM scalarization), so CPU tests keep sizes tiny and
+#     lean on the persistent compilation cache.
+#   GROTH16_TEST_PLATFORM=tpu — run on the attached TPU chip (fast
+#     compiles, real-hardware numerics); sharding tests that need 8
+#     devices self-skip.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+_platform = os.environ.get("GROTH16_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: limb-engine graphs are big; recompiling
 # them on every pytest run would dominate wall-clock.
