@@ -14,19 +14,23 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.curves.params import CurveParams
 from groth16_tpu.fields.ops import Fp2Ops, FpOps
 from groth16_tpu.fields.spec import FpSpec, encode, decode, make_spec
 
 
-def g1_ops(c: CurveParams) -> JacobianDevice:
-    return JacobianDevice(FpOps(make_spec(c.p, name=f"{c.name}.Fq")))
+def g1_ops(c: CurveParams) -> CurveDevice:
+    return CurveDevice(
+        FpOps(make_spec(c.p, name=f"{c.name}.Fq")), b3=3 * c.b % c.p
+    )
 
 
-def g2_ops(c: CurveParams) -> JacobianDevice:
-    return JacobianDevice(
-        Fp2Ops(make_spec(c.p, name=f"{c.name}.Fq"), c.fp2_nonresidue)
+def g2_ops(c: CurveParams) -> CurveDevice:
+    b2_0, b2_1 = c.b2
+    return CurveDevice(
+        Fp2Ops(make_spec(c.p, name=f"{c.name}.Fq"), c.fp2_nonresidue),
+        b3=(3 * b2_0 % c.p, 3 * b2_1 % c.p),
     )
 
 
@@ -70,7 +74,7 @@ def g2_to_device(c: CurveParams, pts) -> Point:
     return (x, y, z)
 
 
-def g1_from_device(c: CurveParams, g: JacobianDevice, pt: Point):
+def g1_from_device(c: CurveParams, g: CurveDevice, pt: Point):
     """Device Jacobian batch (or single point) -> list of exact affine."""
     spec = g.k.spec
     single = pt[2].ndim == g.k.coord_ndim
@@ -84,7 +88,7 @@ def g1_from_device(c: CurveParams, g: JacobianDevice, pt: Point):
     return out[0] if single else out
 
 
-def g2_from_device(c: CurveParams, g: JacobianDevice, pt: Point):
+def g2_from_device(c: CurveParams, g: CurveDevice, pt: Point):
     spec = g.k.spec
     single = pt[2].ndim == g.k.coord_ndim
     if single:

@@ -1,0 +1,200 @@
+"""Complete projective point arithmetic on limb tensors (device).
+
+TPU-native realization of the `ark-ec` short-Weierstrass group ops the
+reference consumes (SURVEY.md §2.2 "Curve groups"; call sites
+/root/reference/src/prover.rs:127-130, src/verifier.rs:17-18).  One
+generic kernel serves G1 (coords = FpOps) and G2 (coords = Fp2Ops).
+
+Formulas: the Renes-Costello-Batina complete addition law for a = 0
+short-Weierstrass curves (homogeneous projective coordinates, 12
+multiplies, algorithm 7 of eprint 2015/1060's scheme).  "Complete" means
+ONE straight-line formula covers generic addition, doubling, inverses and
+the point at infinity (0 : 1 : 0) for all points of the odd-order
+subgroup — no selects, no is_zero lanes, no doubling branch.  That is the
+perfect shape for a TPU kernel: every lane executes identical code, and
+the sum/double special-case machinery that dominated the Jacobian
+kernel's graph disappears.
+
+Scope: all protocol points live in the prime-order subgroup (the only
+regime Groth16 touches), where the law is total.
+
+Data model: a batch of points is (X, Y, Z) limb tensors with a shared
+batch shape; infinity is exactly (0, 1, 0).  Coordinates hold values in
+[0, 2p) with resolved digits; all laziness is internal to one addition.
+
+Level batching: the 12 multiplies fold into 3 stacked limb-engine calls
+(6 + 2 + 6 lanes); the subtractions into 3 resolving calls; the final
+coordinate reduction into 1.  Product bounds stay <= 36 p^2 (< 64 p^2 =
+the engine's budget); see inline ledger.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Point = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (X, Y, Z)
+
+
+class CurveDevice:
+    def __init__(self, k, b3):
+        """k: FpOps | Fp2Ops; b3: 3*b curve constant (int or (c0,c1))."""
+        self.k = k
+        self.b3 = k.const(b3)
+
+    # -- constructors --------------------------------------------------------
+
+    def infinity(self, shape=()) -> Point:
+        k = self.k
+        return (k.zero(shape), k.one(shape), k.zero(shape))
+
+    def from_affine(self, x, y, inf_mask=None) -> Point:
+        """(x, y) limb tensors (+ optional bool infinity mask) -> projective."""
+        k = self.k
+        shape = x.shape[: x.ndim - k.coord_ndim]
+        z = k.one(shape)
+        if inf_mask is not None:
+            x = k.select(inf_mask, k.zero(shape), x)
+            y = k.select(inf_mask, k.one(shape), y)
+            z = k.select(inf_mask, k.zero(shape), z)
+        return (x, y, z)
+
+    def batch_shape(self, pt: Point):
+        return pt[2].shape[: pt[2].ndim - self.k.coord_ndim]
+
+    # -- predicates ----------------------------------------------------------
+
+    def is_infinity(self, pt: Point):
+        return self.k.is_zero(pt[2], bound_k=2)
+
+    # -- select / reshape helpers --------------------------------------------
+
+    def select(self, mask, a: Point, b: Point) -> Point:
+        k = self.k
+        return tuple(k.select(mask, x, y) for x, y in zip(a, b))
+
+    def index(self, pt: Point, idx) -> Point:
+        return tuple(c[idx] for c in pt)
+
+    # -- group law -------------------------------------------------------------
+
+    def neg(self, pt: Point) -> Point:
+        return (pt[0], self.k.neg(pt[1], k=2), pt[2])
+
+    def add(self, p1: Point, p2: Point) -> Point:
+        """Complete addition (RCB a=0).  Inputs/outputs: coords < 2p exact.
+
+        Value ledger (multiples of p): pre-adds < 4p; M1 products
+        <= 16p^2; t3/t4/t5 < 6p; t0t < 6p; M2 <= 6p^2; Z3s/t1m < 4p;
+        M3 products <= 36p^2; X3/Y3/Z3 pre-reduce < 4p.
+        """
+        k = self.k
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        t0, t1, t2, m3, m4, m5 = k.mul_many(
+            [
+                (X1, X2),
+                (Y1, Y2),
+                (Z1, Z2),
+                (X1 + Y1, X2 + Y2),
+                (Y1 + Z1, Y2 + Z2),
+                (X1 + Z1, X2 + Z2),
+            ]
+        )
+        t3, t4, t5 = k.sub_many(
+            [(m3, t0 + t1), (m4, t1 + t2), (m5, t0 + t2)], k=4
+        )  # X1Y2+X2Y1, Y1Z2+Y2Z1, X1Z2+X2Z1; each < 6p
+        t0t = t0 + t0 + t0  # 3*X1X2 < 6p lazy
+        t2b, t5b = k.mul_many([(t2, self.b3), (t5, self.b3)])
+        Z3s = t1 + t2b  # < 4p lazy
+        t1m = k.sub_exact(t1, t2b, k=2)  # < 4p exact
+        w0, w1, w2, w3, w4, w5 = k.mul_many(
+            [
+                (t4, t5b),
+                (t3, t1m),
+                (t5b, t0t),
+                (t1m, Z3s),
+                (t0t, t3),
+                (Z3s, t4),
+            ]
+        )
+        X3 = k.sub_exact(w1, w0, k=2)  # < 4p
+        Y3 = w3 + w2  # < 4p lazy
+        Z3 = w5 + w4  # < 4p lazy
+        X3, Y3, Z3 = k.reduce2p_many([X3, Y3, Z3], bound_k=4)
+        return (X3, Y3, Z3)
+
+    def double(self, pt: Point) -> Point:
+        """Complete doubling = add(P, P) (one code path, same cost)."""
+        return self.add(pt, pt)
+
+    def add_mixed(self, p1: Point, x2, y2, inf2=None) -> Point:
+        """p1 + affine(x2, y2) via the complete law."""
+        return self.add(p1, self.from_affine(x2, y2, inf2))
+
+    # -- conversions -----------------------------------------------------------
+
+    def to_affine(self, pt: Point):
+        """Batch projective -> affine; returns (x, y, inf_mask).
+
+        One batched Fermat inverse over the leading axis — the analog of
+        arkworks' `into_affine` batch normalization (prover.rs:127-130).
+        """
+        k = self.k
+        X, Y, Z = pt
+        inf = self.is_infinity(pt)
+        zsafe = k.select(inf, k.one(self.batch_shape(pt)), Z)
+        zinv = k.batch_inv(zsafe) if X.ndim - k.coord_ndim >= 1 else k.inv(zsafe)
+        x = k.mul(X, zinv)
+        y = k.mul(Y, zinv)
+        shape = self.batch_shape(pt)
+        x = k.select(inf, k.zero(shape), x)
+        y = k.select(inf, k.zero(shape), y)
+        return x, y, inf
+
+    # -- reductions --------------------------------------------------------------
+
+    def tree_reduce(self, pt: Point) -> Point:
+        """Sum a [N, ...] batch of points down to a single point, log2(N)
+        rounds of halving vector adds (N padded to a power of two with
+        infinities).  For large N prefer msm.scans.reduce_points (O(1)
+        graph)."""
+        n = pt[2].shape[0]
+        m = 1
+        while m < n:
+            m <<= 1
+        if m != n:
+            pad = self.infinity((m - n,) + self.batch_shape(pt)[1:])
+            pt = tuple(
+                jnp.concatenate([c, p], axis=0) for c, p in zip(pt, pad)
+            )
+        while m > 1:
+            h = m // 2
+            lo = self.index(pt, slice(0, h))
+            hi = self.index(pt, slice(h, m))
+            pt = self.add(lo, hi)
+            m = h
+        return self.index(pt, 0)
+
+    def scalar_mul_bits(self, pt: Point, bits: jnp.ndarray) -> Point:
+        """Per-lane variable scalar mul: bits uint32[..., nbits] little-endian
+        (static bit count).  lax.fori_loop double-and-add — O(1) graph."""
+        nbits = bits.shape[-1]
+        acc = self.infinity(self.batch_shape(pt))
+
+        def body(i, carry):
+            acc, base = carry
+            take = (bits[..., i] & 1).astype(jnp.bool_)
+            acc = self.select(take, self.add(acc, base), acc)
+            base = self.add(base, base)
+            return (acc, base)
+
+        acc, _ = jax.lax.fori_loop(0, nbits, body, (acc, pt))
+        return acc
+
+
+# Backwards-compatible alias (the engine moved from Jacobian to complete
+# projective formulas; the interface is unchanged).
+JacobianDevice = CurveDevice

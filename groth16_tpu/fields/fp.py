@@ -1,28 +1,41 @@
 """Vectorized Montgomery field arithmetic on uint32 limb tensors (JAX).
 
-Element layout: `uint32[..., L]` of 16-bit little-endian limbs, Montgomery
-form, redundant range [0, 2p) (see fields/spec.py).  All functions are pure
-and jit-compatible; `spec` is static (hashable dataclass).
-
-This is the TPU-native realization of `ark-ff`'s Montgomery backend
+Element layout: `uint32[..., L]` of 15-bit little-endian digits, Montgomery
+form.  This is the TPU-native realization of `ark-ff`'s Montgomery backend
 (SURVEY.md §2.2 row 1): same math, data model inverted to structure-of-
 arrays so the VPU vectorizes across elements, not limbs.
 
-Design for compile-friendliness AND width (the engine sits inside deeply
-nested scans — MSM windows, NTT stages — so per-op graph size matters as
-much as FLOPs):
+## The lazy-digit regime (why 15-bit limbs)
 
-- mont_mul is the *non-interleaved* REDC:  T = a*b;  m = (T mod R)*n' mod
-  R;  U = T + m*p;  result = U >> 16L.  Each big product accumulates
-  16x16->32 split columns into a [.., 2L+1] buffer via one `lax.scan`
-  over limbs (graph O(1), work O(L^2) vectorized over the batch).
-  Column bound: <= 2L terms * (2^16-1) + carries < 2^22 for L <= 32.
-- Carry propagation is log-time: two local folds reduce columns to
-  digits <= 2^16, then a Kogge-Stone (generate, propagate) prefix
-  resolves binary carries in ceil(log2(W)) vector steps.
-- add/sub/normalize are fully vectorized: limb-complement addition
-  (x - y  ==  x + (MASK - y) + 1 mod R) turns subtraction and the
-  conditional reductions into the same carry-resolve machinery.
+The engine sits inside deeply nested scans (MSM windows, NTT stages,
+Jacobian formulas), so per-op graph size matters as much as FLOPs.  Two
+redundancies are tracked separately:
+
+- **digit class** — how large individual uint32 digits may be:
+    * exact : digits < 2^15            (outputs of mul/sub/rex/cond_sub)
+    * semi  : digits <= 2^15 + 2^12    (after one `fold` pass)
+    * lazy  : digits < 2^27            (sums of a few exact/semi values)
+  `add`/`dbl` are single vector adds producing lazy digits.  `fold` is 4
+  cheap ops.  Full carry resolution (`rex`: two folds + a Kogge-Stone
+  binary-carry prefix) appears only in sub/cond_sub/mul-final/boundaries.
+  15-bit digits are what make this sound: semi*semi products fit uint32.
+
+- **value class** — multiples of p bounding the represented value.
+  Regime: R = 2^(15 L) >= 64 p (spec guarantees).  mont_mul accepts
+  values < 8p and returns < 2p; add/dbl grow bounds additively;
+  sub(a, b, k) returns a - b + k*p (caller picks k*p >= bound(b));
+  cond_sub / normalize shrink bounds.  Callers (curve/NTT kernels) track
+  bounds in comments; everything outside those kernels sees the strict
+  [0, 2p) world via the *_strict helpers.
+
+## mont_mul
+
+Interleaved CIOS as ONE `lax.scan` over the L digits of `a`:
+  acc += a_i * b;  m = (-acc[0]/p mod 2^15);  acc += m * p;  acc >>= 15
+with acc a [.., L+1] uint32 column vector.  Per-step column growth is
+< 2^17.3 and lifetimes are <= L steps, so columns stay < 2^23 for every
+supported L — no intra-step carrying at all.  One final `rex` returns
+exact digits.  Inputs are folded to semi first (any lazy input is fine).
 """
 
 from __future__ import annotations
@@ -41,7 +54,7 @@ MASK = jnp.uint32(LIMB_MASK)
 
 
 def const(spec: FpSpec, value: int, shape=(), mont: bool = True) -> jnp.ndarray:
-    """Broadcast a host integer constant to limb-tensor form."""
+    """Broadcast a host integer constant to limb-tensor form (exact)."""
     v = value % spec.modulus
     if mont:
         v = spec.to_mont_int(v)
@@ -57,33 +70,38 @@ def _const_vec(limbs: Sequence[int]) -> jnp.ndarray:
     return jnp.asarray(np.array(limbs, dtype=np.uint32))
 
 
-# -- carry resolution ----------------------------------------------------------
+# -- digit-class management ----------------------------------------------------
 
 
 def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
-    """Multiply by 2^(16d): digits move to higher index; width preserved."""
+    """Multiply by 2^(15 d): digits move to higher index; width preserved.
+    Caller guarantees the dropped top digits are zero-valued."""
     nd = x.ndim
     return jnp.pad(x, [(0, 0)] * (nd - 1) + [(d, 0)])[..., : x.shape[-1]]
 
 
-def resolve(cols: jnp.ndarray, n_out: int, want_carry: bool = False):
-    """Exact digit resolution of a column vector.
+def fold(x: jnp.ndarray) -> jnp.ndarray:
+    """lazy -> semi: one local carry fold.  digits < 2^27 -> <= 2^15+2^12.
+    Value-preserving iff the top digit's high part is zero (callers
+    guarantee value < R and digits lazy, which implies it)."""
+    return (x & MASK) + _shift_up(x >> LIMB_BITS, 1)
 
-    cols: uint32[..., W] with value V = sum_i cols_i * 2^(16 i), every
-    column < 2^30.  Returns uint32[..., n_out] = digits of V mod 2^(16
-    n_out).  With want_carry=True also returns the bit at position n_out
-    (caller guarantees V < 2^(16 (n_out + 1))).
-    """
+
+def rex(cols: jnp.ndarray, n_out: int, want_carry: bool = False):
+    """Exact digit resolution: columns (< 2^30) -> digits < 2^15.
+
+    Value taken mod 2^(15 n_out).  Two folds bring digits to <= 2^15,
+    then a Kogge-Stone binary-carry prefix resolves in ceil(log2(W))
+    vector steps.  With want_carry=True also returns the bit at position
+    n_out (caller guarantees value < 2^(15 (n_out+1)))."""
     W = n_out + 1 if want_carry else n_out
     cur = cols.shape[-1]
     if cur < W:
         x = jnp.pad(cols, [(0, 0)] * (cols.ndim - 1) + [(0, W - cur)])
     else:
         x = cols[..., :W]
-    # two folds: 2^30 -> < 2^16 + 2^14 -> <= 2^16
-    x = (x & MASK) + _shift_up(x >> LIMB_BITS, 1)
-    x = (x & MASK) + _shift_up(x >> LIMB_BITS, 1)
-    # Kogge-Stone binary-carry prefix: digits u <= 2^16
+    x = (x & MASK) + _shift_up(x >> LIMB_BITS, 1)  # < 2^15 + 2^15
+    x = (x & MASK) + _shift_up(x >> LIMB_BITS, 1)  # <= 2^15
     g = x >> LIMB_BITS  # {0, 1}
     p = (x == MASK).astype(_U32)
     d = 1
@@ -97,102 +115,128 @@ def resolve(cols: jnp.ndarray, n_out: int, want_carry: bool = False):
     return digits
 
 
-def _cond_sub(spec: FpSpec, x: jnp.ndarray, m_limbs: Sequence[int]) -> jnp.ndarray:
-    """x if x < m else x - m (x exact digits, m a host constant < R)."""
-    L = spec.n_limbs
-    comp = _const_vec([LIMB_MASK - v for v in m_limbs[:L]])
-    one0 = _const_vec([1] + [0] * (L - 1))
-    u = x + comp + one0  # value = x - m + R; digits < 2^17
-    digits, carry = resolve(u, L, want_carry=True)
-    return jnp.where((carry > 0)[..., None], digits, x)
-
-
-# -- add / sub / neg ---------------------------------------------------------
+# -- lazy add / sub ------------------------------------------------------------
 
 
 def add(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a + b) in [0, 2p), inputs in [0, 2p).  Sum < 4p <= R fits L limbs."""
-    s = resolve(a + b, spec.n_limbs)
-    return _cond_sub(spec, s, spec.two_p_limbs)
+    """LAZY add: one vector op.  value(out) = value(a) + value(b);
+    digits grow (fold/rex consumers handle any digits < 2^27)."""
+    return a + b
 
 
-def sub(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a - b) in [0, 2p): a - b + 2p via limb-complement addition."""
+def dbl(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return a + a
+
+
+def sub(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """a - b + k*p, EXACT output digits.
+
+    Requires value(b) < k*p and value(a) + k*p < R (always true in the
+    8p regime since 16p < R).  b may have any digit class (resolved
+    internally); a may be lazy."""
     L = spec.n_limbs
-    two_p = _const_vec(spec.two_p_limbs[:L])
-    one0 = _const_vec([1] + [0] * (L - 1))
-    u = a + (MASK - b) + two_p + one0  # value = a - b + 2p + R; digits < 3*2^16
-    s = resolve(u, L)  # mod R drops the +R; a - b + 2p < 4p <= R exact
-    return _cond_sub(spec, s, spec.two_p_limbs)
+    b_x = rex(b, L)
+    kp = k * spec.modulus
+    # a + (R-1 - b) + 1 + kp == a - b + k*p + R; resolving to L digits
+    # drops the explicit +R.
+    off = _const_vec(int_to_limbs(kp, L + 1)[:L])  # kp < 8p < R fits L
+    u = a + (MASK - b_x) + off
+    u = u.at[..., 0].add(1)
+    return rex(u, L)
 
 
-def neg(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
-    return sub(spec, jnp.zeros_like(a), a)
+def sub_exact(spec: FpSpec, a: jnp.ndarray, b_exact: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """Like sub but skips resolving b: b must already have exact digits
+    (< 2^15) — true for mul/sub/cond_sub outputs and constants."""
+    L = spec.n_limbs
+    off = _const_vec(int_to_limbs(k * spec.modulus, L + 1)[:L])
+    u = a + (MASK - b_exact) + off
+    u = u.at[..., 0].add(1)
+    return rex(u, L)
 
 
-def double(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
-    return add(spec, a, a)
+def neg(spec: FpSpec, a: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """k*p - a (exact digits).  Requires value(a) < k*p."""
+    return sub(spec, jnp.zeros_like(a), a, k=k)
+
+
+def double(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:  # legacy name
+    return a + a
+
+
+def cond_sub(spec: FpSpec, x: jnp.ndarray, m_limbs: Sequence[int]) -> jnp.ndarray:
+    """x if x < m else x - m.  x: lazy ok, value < R; output exact."""
+    L = spec.n_limbs
+    x = rex(x, L)
+    comp = _const_vec([LIMB_MASK - v for v in m_limbs[:L]])
+    u = x + comp
+    u = u.at[..., 0].add(1)
+    digits, carry = rex(u, L, want_carry=True)
+    return jnp.where((carry > 0)[..., None], digits, x)
+
+
+def reduce_to_2p(spec: FpSpec, x: jnp.ndarray, bound_k: int = 8) -> jnp.ndarray:
+    """value < bound_k * p -> [0, 2p), exact digits."""
+    k = bound_k
+    while k > 2:
+        k = (k + 1) // 2
+        x = cond_sub(spec, x, int_to_limbs(k * spec.modulus, spec.n_limbs))
+    return x
+
+
+# -- strict [0, 2p) API (for code outside the bound-audited kernels) ------------
+
+
+def add_strict(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[0,2p) x [0,2p) -> [0,2p), exact digits."""
+    return cond_sub(spec, a + b, spec.two_p_limbs)
+
+
+def sub_strict(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return cond_sub(spec, sub(spec, a, b, k=2), spec.two_p_limbs)
 
 
 # -- Montgomery multiplication ------------------------------------------------
 
 
-def _accumulate_product(
-    cols: jnp.ndarray, a: jnp.ndarray, b_vec: jnp.ndarray
-) -> jnp.ndarray:
-    """cols += a * b_vec in split 16-bit columns.
+def mont_mul(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product a*b*R^-1 mod p.
 
-    a: uint32[..., La] digits (< 2^16); b_vec: [..., Lb] or [Lb] digits.
-    One lax.scan over La — graph O(1), work O(La*Lb) across the batch.
-    Column growth per call: <= 2*La * (2^16 - 1).
-    """
-    La = a.shape[-1]
-    W = cols.shape[-1]
-    Lb = b_vec.shape[-1]
-    aT = jnp.moveaxis(a, -1, 0)  # [La, ...]
-    nd_batch = cols.ndim - 1
+    Inputs: any digit class, values < 8p (so a*b < 64 p^2 <= R*p).
+    Output: exact digits, value < 2p.  Interleaved CIOS, one lax.scan."""
+    L = spec.n_limbs
+    batch_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(fold(a), batch_shape + (L,))
+    b = jnp.broadcast_to(fold(b), batch_shape + (L,))
 
-    def step(acc, xs):
-        ai, i = xs
-        prod = ai[..., None] * b_vec  # exact 16x16 in u32
-        contrib = jnp.pad(prod & MASK, [(0, 0)] * nd_batch + [(0, 1)]) + _shift_up(
-            jnp.pad(prod >> LIMB_BITS, [(0, 0)] * nd_batch + [(0, 1)]), 1
-        )  # [..., Lb+1]
-        sl = jax.lax.dynamic_slice_in_dim(acc, i, Lb + 1, axis=-1)
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, sl + contrib, i, axis=-1)
+    p_vec = _const_vec(spec.p_limbs)
+    n0 = jnp.uint32(spec.n0inv)
+    nd_batch = len(batch_shape)
+    pad_last = [(0, 0)] * nd_batch + [(0, 1)]
+
+    aT = jnp.moveaxis(a, -1, 0)  # [L, ...]
+
+    def step(acc, ai):
+        # acc: [..., L+1] columns, entries < 2^23
+        prod = ai[..., None] * b  # semi*semi < 2^31
+        acc = acc + jnp.pad(prod & MASK, pad_last)
+        acc = acc + _shift_up(jnp.pad(prod >> LIMB_BITS, pad_last), 1)
+        m = ((acc[..., 0] & MASK) * n0) & MASK
+        prod2 = m[..., None] * p_vec
+        acc = acc + jnp.pad(prod2 & MASK, pad_last)
+        acc = acc + _shift_up(jnp.pad(prod2 >> LIMB_BITS, pad_last), 1)
+        carry = acc[..., 0] >> LIMB_BITS  # acc[0] ≡ 0 mod 2^15 now
+        lo = acc[..., 1] + carry
+        acc = jnp.concatenate(
+            [lo[..., None], acc[..., 2:], jnp.zeros_like(lo)[..., None]],
+            axis=-1,
+        )
         return acc, None
 
-    idx = jnp.arange(La, dtype=jnp.int32)
-    cols, _ = jax.lax.scan(step, cols, (aT, idx))
-    return cols
-
-
-def mont_mul(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product abR^-1 mod p, inputs/outputs in [0, 2p).
-
-    Non-interleaved REDC over split-column accumulators; see module
-    docstring for the shape of the algorithm and the bounds.
-    """
-    L = spec.n_limbs
-    W = 2 * L + 1
-    batch_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, batch_shape + (L,))
-    b = jnp.broadcast_to(b, batch_shape + (L,))
-
-    # T = a * b
-    cols = jnp.zeros(batch_shape + (W,), dtype=_U32)
-    cols = _accumulate_product(cols, a, b)
-    # m = (T mod R) * n' mod R
-    t = resolve(cols[..., :L], L)
-    n_prime = _const_vec(int_to_limbs(spec.nprime, L))
-    mcols = jnp.zeros(batch_shape + (W,), dtype=_U32)
-    mcols = _accumulate_product(mcols, t, n_prime)
-    m = resolve(mcols[..., :L], L)
-    # U = T + m * p;  result = U >> 16L  (U/R < 2p)
-    p_vec = _const_vec(spec.p_limbs)
-    cols = _accumulate_product(cols, m, p_vec)
-    digits = resolve(cols, 2 * L)
-    return digits[..., L:]
+    acc0 = jnp.zeros(batch_shape + (L + 1,), dtype=_U32)
+    acc, _ = jax.lax.scan(step, acc0, aT)
+    # value < 2p < R: top column is zero; resolve to exact digits
+    return rex(acc, L)
 
 
 def mont_sqr(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -207,18 +251,21 @@ def mul_const(spec: FpSpec, a: jnp.ndarray, value: int, mont: bool = True) -> jn
 # -- normalization / comparisons ----------------------------------------------
 
 
-def normalize(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """[0, 2p) -> canonical [0, p)."""
-    return _cond_sub(spec, a, spec.p_limbs)
+def normalize(spec: FpSpec, a: jnp.ndarray, bound_k: int = 8) -> jnp.ndarray:
+    """value < bound_k*p -> canonical [0, p), exact digits."""
+    a = reduce_to_2p(spec, a, bound_k=bound_k)
+    return cond_sub(spec, a, spec.p_limbs)
 
 
-def is_zero(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
-    n = normalize(spec, a)
+def is_zero(spec: FpSpec, a: jnp.ndarray, bound_k: int = 8) -> jnp.ndarray:
+    n = normalize(spec, a, bound_k=bound_k)
     return jnp.all(n == 0, axis=-1)
 
 
 def eq(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return is_zero(spec, sub(spec, a, b))
+    """a == b mod p for values < 8p."""
+    d = sub(spec, a, b, k=8)  # < 16p
+    return is_zero(spec, d, bound_k=16)
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -236,7 +283,7 @@ def to_mont(spec: FpSpec, a_std: jnp.ndarray) -> jnp.ndarray:
 def from_mont(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery -> standard form (canonical [0, p))."""
     one = jnp.zeros_like(a).at[..., 0].set(1)
-    return normalize(spec, mont_mul(spec, a, one))
+    return normalize(spec, mont_mul(spec, a, one), bound_k=2)
 
 
 # -- exponentiation -------------------------------------------------------------
@@ -262,8 +309,8 @@ def pow_const(spec: FpSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
 
 
 def inv(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Fermat inverse (0 maps to 0)."""
-    return pow_const(spec, a, spec.modulus - 2)
+    """Fermat inverse (0 maps to 0).  Input value < 8p."""
+    return pow_const(spec, fold(a), spec.modulus - 2)
 
 
 def batch_inv(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -273,19 +320,17 @@ def batch_inv(spec: FpSpec, a: jnp.ndarray) -> jnp.ndarray:
     if n == 1:
         return inv(spec, a)
     one = const(spec, 1, a.shape[:-1])
-    safe = select(is_zero(spec, a), one, a)
-
-    def mul_op(x, y):
-        return mont_mul(spec, x, y)
+    zmask = is_zero(spec, a)
+    safe = select(zmask, one, a)
 
     prefix = _chunked_scan_mul(spec, safe, reverse=False)
     total_inv = inv(spec, prefix[-1])
     suffix = _chunked_scan_mul(spec, safe, reverse=True)
-    one_row = one[:1] if one.ndim == a.ndim else one[None]
+    one_row = one[:1]
     suffix = jnp.concatenate([suffix[1:], one_row], axis=0)
     prefix_excl = jnp.concatenate([one_row, prefix[:-1]], axis=0)
     out = mont_mul(spec, mont_mul(spec, prefix_excl, suffix), total_inv)
-    return select(is_zero(spec, a), zeros(spec, a.shape[:-1]), out)
+    return select(zmask, zeros(spec, a.shape[:-1]), out)
 
 
 def _chunked_scan_mul(spec: FpSpec, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
@@ -305,7 +350,6 @@ def _chunked_scan_mul(spec: FpSpec, x: jnp.ndarray, reverse: bool) -> jnp.ndarra
 
     ones = const(spec, 1, (C,) + x.shape[1:-1])
     totals, within = jax.lax.scan(step, ones, re, reverse=reverse)
-    # Hillis-Steele across chunk totals
     steps = max(1, (C - 1).bit_length()) if C > 1 else 0
     pos = jnp.arange(C)
 

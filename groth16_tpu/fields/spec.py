@@ -1,16 +1,20 @@
 """Field specification for the TPU limb engine.
 
 TPU-first data model (SURVEY.md §7): field elements are structure-of-arrays
-`uint32[..., L]` tensors of 16-bit little-endian limbs, held in Montgomery
-form with R = 2^(16*L).  The engine keeps values in the redundant range
-[0, 2p) — closed under mont_mul when 4p <= R (true for every supported
-field) — so conditional subtractions happen only at explicit
-normalization points.
+`uint32[..., L]` tensors of 15-bit little-endian limbs, held in Montgomery
+form with R = 2^(15*L).
 
-Why 16-bit limbs in u32 lanes: the TPU VPU has no 64-bit integer multiply;
-16x16 products are exact in u32, and column accumulations of up to 2*L
-split products stay far below 2^32 (see mont_mul_limbs in fp.py for the
-bound arithmetic).  Covers the `ark-ff` behavior consumed by the reference
+Why 15-bit limbs in u32 lanes: the TPU VPU has no 64-bit integer multiply,
+so limb products must be exact in uint32.  15-bit digits leave one bit of
+*lazy headroom*: sums of a few field elements keep digits <= 2^15 + eps
+after a single cheap fold pass (no carry chain), and (2^15 + eps)^2 still
+fits u32 — so additions in the hot point/NTT kernels cost one vector add,
+with full carry resolution (Kogge-Stone) needed only at canonical
+boundaries.  See fields/fp.py for the exact bound ledger.
+
+Range regime: R >= 64*p (one limb above the minimum), values live in
+[0, 8p) between reductions, Montgomery mul accepts inputs < 8p and returns
+< 2p.  Covers the `ark-ff` behavior consumed by the reference
 (SURVEY.md §2.2 row "Prime-field arithmetic").
 """
 
@@ -22,7 +26,7 @@ from typing import Tuple
 
 import numpy as np
 
-LIMB_BITS = 16
+LIMB_BITS = 15
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
 
@@ -51,8 +55,9 @@ class FpSpec:
     # tuples so the spec is hashable (usable as a static jit argument)
     p_limbs: Tuple[int, ...]
     two_p_limbs: Tuple[int, ...]
-    n0inv: int  # -p^-1 mod 2^16
-    nprime: int  # -p^-1 mod R (full-width, for non-interleaved REDC)
+    four_p_limbs: Tuple[int, ...]
+    eight_p_limbs: Tuple[int, ...]
+    n0inv: int  # -p^-1 mod 2^LIMB_BITS
     r_mod_p: int
     r2_mod_p: int
     r_limbs: Tuple[int, ...]  # R mod p (standard form), as limbs
@@ -74,17 +79,11 @@ class FpSpec:
 def make_spec(modulus: int, name: str = "fp") -> FpSpec:
     bits = modulus.bit_length()
     n_limbs = (bits + LIMB_BITS - 1) // LIMB_BITS
-    # redundant-form closure requires 4p <= R; bump limb count if the
-    # modulus is too close to R (not the case for any registered field,
-    # but keep the engine generic).
-    while 4 * modulus > (1 << (LIMB_BITS * n_limbs)):
+    # lazy-range regime requires 64p <= R (see module docstring)
+    while 64 * modulus > (1 << (LIMB_BITS * n_limbs)):
         n_limbs += 1
-    # lane-friendly: round the limb count up to a multiple of 8 only when
-    # close; keep exact for now (last axis is the limb axis, batch axis is
-    # the lane axis).
     R = 1 << (LIMB_BITS * n_limbs)
     n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
-    nprime = (-pow(modulus, -1, R)) % R
     r_mod_p = R % modulus
     r2_mod_p = R * R % modulus
     return FpSpec(
@@ -92,9 +91,10 @@ def make_spec(modulus: int, name: str = "fp") -> FpSpec:
         modulus=modulus,
         n_limbs=n_limbs,
         p_limbs=int_to_limbs(modulus, n_limbs),
-        two_p_limbs=int_to_limbs(2 * modulus, n_limbs + 1),
+        two_p_limbs=int_to_limbs(2 * modulus, n_limbs),
+        four_p_limbs=int_to_limbs(4 * modulus, n_limbs),
+        eight_p_limbs=int_to_limbs(8 * modulus, n_limbs),
         n0inv=n0inv,
-        nprime=nprime,
         r_mod_p=r_mod_p,
         r2_mod_p=r2_mod_p,
         r_limbs=int_to_limbs(r_mod_p, n_limbs),
@@ -103,34 +103,47 @@ def make_spec(modulus: int, name: str = "fp") -> FpSpec:
     )
 
 
-# -- host-side batch codecs (numpy) ----------------------------------------
+# -- host-side batch codecs (numpy-accelerated) ------------------------------
 
 
 def encode(values, spec: FpSpec, mont: bool = True) -> np.ndarray:
-    """python ints -> uint32[N, L] limbs (Montgomery form by default)."""
-    nbytes = spec.n_limbs * 2
-    R, p = spec.R, spec.modulus
-    buf = bytearray(len(values) * nbytes)
+    """python ints -> uint32[N, L] 15-bit limbs (Montgomery by default).
+
+    Vectorized: ints -> fixed-width little-endian bytes -> bit-unpack ->
+    15-bit group repack.
+    """
+    n = len(values)
+    L = spec.n_limbs
+    p, R = spec.modulus, spec.R
+    nbits = LIMB_BITS * L
+    nbytes = (nbits + 7) // 8
+    buf = bytearray(n * nbytes)
     for i, v in enumerate(values):
         v = v % p
         if mont:
             v = v * R % p
         buf[i * nbytes : (i + 1) * nbytes] = v.to_bytes(nbytes, "little")
-    u16 = np.frombuffer(bytes(buf), dtype="<u2").reshape(len(values), spec.n_limbs)
-    return u16.astype(np.uint32)
+    u8 = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, nbytes)
+    bits = np.unpackbits(u8, axis=1, bitorder="little")[:, :nbits]
+    bits = bits.reshape(n, L, LIMB_BITS).astype(np.uint32)
+    weights = (1 << np.arange(LIMB_BITS, dtype=np.uint32))
+    return (bits * weights).sum(axis=2, dtype=np.uint32)
 
 
 def decode(arr: np.ndarray, spec: FpSpec, mont: bool = True):
-    """uint32[..., L] limbs -> list of python ints (canonical, [0, p))."""
-    arr = np.asarray(arr)
-    flat = arr.reshape(-1, arr.shape[-1]).astype("<u2")
-    raw = flat.tobytes()
-    nbytes = spec.n_limbs * 2
+    """uint32[..., L] limbs -> list of python ints (canonical, [0, p)).
+
+    Accepts lazy/redundant digit encodings (any u32 digits)."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    flat = arr.reshape(-1, arr.shape[-1])
     p = spec.modulus
     rinv = pow(spec.R, p - 2, p) if mont else 1
     out = []
-    for i in range(flat.shape[0]):
-        v = int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "little") % p
+    for row in flat:
+        v = 0
+        for i in range(len(row) - 1, -1, -1):
+            v = (v << LIMB_BITS) + int(row[i])
+        v %= p
         if mont:
             v = v * rinv % p
         out.append(v)

@@ -20,13 +20,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.msm.pippenger import all_window_digits
 from groth16_tpu.msm.scans import scan_points
 
 
 def build_window_table(
-    g: JacobianDevice, base: Point, c: int, num_windows: int
+    g: CurveDevice, base: Point, c: int, num_windows: int
 ) -> Point:
     """Table[w, d] = d * 2^{cw} * base, shape [num_windows, 2^c].
 
@@ -51,7 +51,7 @@ def build_window_table(
 
 
 def batch_mul_device(
-    g: JacobianDevice,
+    g: CurveDevice,
     table: Point,
     scalars: jnp.ndarray,
     c: int,

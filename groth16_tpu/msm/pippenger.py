@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.fields.spec import LIMB_BITS
 from groth16_tpu.msm.scans import chunk_scan_parts, reduce_points
 
@@ -75,7 +75,7 @@ def _pad_size(n: int) -> int:
 
 
 def msm_device(
-    g: JacobianDevice,
+    g: CurveDevice,
     points: Point,
     scalars: jnp.ndarray,
     scalar_bits: int,

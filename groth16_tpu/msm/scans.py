@@ -12,7 +12,7 @@ graph at O(1) point-ops by pushing repetition into `lax.scan` /
     `fori_loop` with traced roll distances (work C*log2(C), graph 1 add)
 
 Chunk count C is capped so the cross pass stays o(N).  All helpers
-operate on (X, Y, Z) point pytrees via a JacobianDevice `g`.
+operate on (X, Y, Z) point pytrees via a CurveDevice `g`.
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.point import CurveDevice, Point
 
 
 def ceil_log2(n: int) -> int:
@@ -34,7 +34,7 @@ def _roll(pt: Point, shift, axis=0) -> Point:
     return tuple(jnp.roll(x, shift, axis=axis) for x in pt)
 
 
-def hs_scan(g: JacobianDevice, pts: Point, reverse: bool = False) -> Point:
+def hs_scan(g: CurveDevice, pts: Point, reverse: bool = False) -> Point:
     """Inclusive Hillis-Steele scan over axis 0 of a [C] point batch.
 
     Graph: one point-add; work: C * ceil(log2(C)) adds.
@@ -69,7 +69,7 @@ def _pick_chunks(N: int, max_chunks: int) -> int:
 
 
 def chunk_scan_parts(
-    g: JacobianDevice, pts: Point, reverse: bool = False, max_chunks: int = 4096
+    g: CurveDevice, pts: Point, reverse: bool = False, max_chunks: int = 4096
 ) -> Tuple[Point, Point, int]:
     """Two-level inclusive scan decomposition of a [N] point batch.
 
@@ -112,7 +112,7 @@ def chunk_scan_parts(
     return within, cross_excl, K
 
 
-def scan_points(g: JacobianDevice, pts: Point, reverse: bool = False) -> Point:
+def scan_points(g: CurveDevice, pts: Point, reverse: bool = False) -> Point:
     """Full inclusive scan (used by the fixed-base table build)."""
     N = pts[2].shape[0]
     within, cross_excl, K = chunk_scan_parts(g, pts, reverse=reverse)
@@ -124,7 +124,7 @@ def scan_points(g: JacobianDevice, pts: Point, reverse: bool = False) -> Point:
     return tuple(jnp.moveaxis(x, 0, 1).reshape((N,) + x.shape[2:]) for x in out)
 
 
-def reduce_points(g: JacobianDevice, pts: Point) -> Point:
+def reduce_points(g: CurveDevice, pts: Point) -> Point:
     """Sum a [N] point batch to a single point.  Graph: 2 point-adds;
     work: N + 64*log2(64) (the tiny tail reduced by Hillis-Steele)."""
     N = pts[2].shape[0]

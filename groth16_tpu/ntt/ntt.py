@@ -122,10 +122,11 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
     twexps_d = jnp.asarray(twexps)
 
     def stage(s, x):
+        # invariant: stage inputs/outputs < 2p, exact digits
         part = jnp.take(x, partners_d[s], axis=-2)
         tw = jnp.take(root_powers, twexps_d[s], axis=0)
-        sum_ = fp.add(spec, x, part)
-        diff = fp.mont_mul(spec, fp.sub(spec, part, x), tw)
+        sum_ = fp.cond_sub(spec, x + part, spec.two_p_limbs)
+        diff = fp.mont_mul(spec, fp.sub(spec, part, x, k=2), tw)
         return fp.select(masks_d[s], sum_, diff)
 
     a = jax.lax.fori_loop(0, log_n, stage, a)

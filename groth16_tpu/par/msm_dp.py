@@ -20,13 +20,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.msm.pippenger import msm_device
 from groth16_tpu.par.mesh import DATA_AXIS
 
 
 def msm_sharded(
-    g: JacobianDevice,
+    g: CurveDevice,
     points: Point,
     scalars: jnp.ndarray,
     scalar_bits: int,

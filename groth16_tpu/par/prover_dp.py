@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from groth16_tpu.curves import codec
-from groth16_tpu.curves.jacobian import JacobianDevice, Point
+from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.curves.params import get_curve
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import encode, make_spec
@@ -42,7 +42,7 @@ from groth16_tpu.r1cs.matrices import ConstraintMatrices
 
 
 def msm_sharded_lanes(
-    g: JacobianDevice,
+    g: CurveDevice,
     points: Point,  # [lanes, N, ...] stacked, sharded on axis 1
     scalars: jnp.ndarray,  # [lanes, N, Ls]
     scalar_bits: int,

@@ -97,7 +97,7 @@ def sparse_matvec(spec: FpSpec, dm: DeviceMatrix, z: jnp.ndarray) -> jnp.ndarray
     def combine(a, b):
         fa, va = a
         fb, vb = b
-        v = fp.select(fb, vb, fp.add(spec, va, vb))
+        v = fp.select(fb, vb, fp.add_strict(spec, va, vb))
         return jnp.logical_or(fa, fb), v
 
     _, scanned = jax.lax.associative_scan(combine, (dm.seg_start, vals), axis=0)

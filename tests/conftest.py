@@ -18,10 +18,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #     devices self-skip.
 import jax  # noqa: E402
 
-_platform = os.environ.get("GROTH16_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("GROTH16_TEST_PLATFORM", "auto")
 if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+elif _platform == "auto":
+    # Prefer the attached TPU (limb-engine graphs compile ~20x faster
+    # there than on the single-core CPU backend); fall back to the
+    # 8-virtual-device CPU mesh.  Sharding tests self-skip when fewer
+    # than 8 devices are visible — run them with GROTH16_TEST_PLATFORM=cpu.
+    try:
+        jax.devices()
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: limb-engine graphs are big; recompiling
 # them on every pytest run would dominate wall-clock.
