@@ -43,15 +43,27 @@ def main():
     from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisMode
     from groth16_tpu.utils.rng import Rng
 
+    from groth16_tpu.serde import deserialize_proving_key, serialize_proving_key
+
     c = get_curve(CURVE)
     n_constraints = (1 << LOG_N) - 2  # domain = 2^LOG_N with 2 instance vars
     n_vars = 1 << (LOG_N - 1)
     rng = Rng(0xBE7C)
 
+    cache = f"/root/.cache/g16_bench_pk_{CURVE}_{LOG_N}.bin"
     t0 = time.time()
-    pk, vk = setup_device(DummyCircuit(n_vars, n_constraints), CURVE, rng)
-    setup_s = time.time() - t0
-    print(f"# setup (device batch muls): {setup_s:.1f}s", file=sys.stderr)
+    if os.path.exists(cache):
+        pk = deserialize_proving_key(
+            open(cache, "rb").read(), CURVE, compress=False, validate=False
+        )
+        vk = pk.vk
+        print(f"# pk loaded from cache: {time.time() - t0:.1f}s", file=sys.stderr)
+    else:
+        pk, vk = setup_device(DummyCircuit(n_vars, n_constraints), CURVE, rng)
+        setup_s = time.time() - t0
+        print(f"# setup (device batch muls): {setup_s:.1f}s", file=sys.stderr)
+        with open(cache, "wb") as f:
+            f.write(serialize_proving_key(pk, compress=False))
 
     a, b = 3, 5
     cs = ConstraintSystem(c.r, mode=SynthesisMode.PROVE)

@@ -12,3 +12,9 @@ from groth16_tpu.protocol.verifier import (
     verify_proof,
     verify_proof_with_prepared_inputs,
 )
+from groth16_tpu.protocol.absorb import (
+    proof_to_field_elements,
+    vk_hash,
+    vk_to_field_elements,
+    vk_to_sponge_bytes,
+)

@@ -50,33 +50,17 @@ def _pad_scalars(s: jnp.ndarray, n_pad: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _prove_jit(
-    curve: str,
-    dpk: DeviceProvingKey,
-    z_mont: jnp.ndarray,
-    r_bits: jnp.ndarray,
-    s_bits: jnp.ndarray,
-    rs_bits: jnp.ndarray,
-):
+def _witness_jit(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
+    """Phase 1: witness map + standard-form scalar prep."""
     c = get_curve(curve)
     fr = make_spec(c.r, name=f"{curve}.Fr")
-    g1 = codec.g1_ops(c)
-    g2 = codec.g2_ops(c)
-    sbits = c.r.bit_length()
-    num_inputs = dpk.num_inputs
-    domain = dpk.domain
-
-    # witness map -> h (Montgomery), then standard form for MSM digits
     h_mont = witness_map_device(
-        fr, domain, dpk.mats, z_mont, num_inputs, dpk.num_constraints
+        fr, dpk.domain, dpk.mats, z_mont, dpk.num_inputs, dpk.num_constraints
     )
     h_std = fp.from_mont(fr, h_mont)
     z_std = fp.from_mont(fr, z_mont)
     rho_std = z_std[1:]
-    aux_std = z_std[num_inputs:]
-
-    # one vmapped G1 MSM over 4 lanes: a_query[1:], b_g1_query[1:],
-    # h_query (zip-truncated to n-1), l_query (prover.rs:63-113)
+    aux_std = z_std[dpk.num_inputs :]
     n_pad = dpk.n_pad
     scalars4 = jnp.stack(
         [
@@ -87,16 +71,49 @@ def _prove_jit(
         ],
         axis=0,
     )
+    return scalars4, rho_std
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_g1_jit(curve: str, dpk: DeviceProvingKey, scalars4: jnp.ndarray):
+    """Phase 2a: one vmapped G1 MSM over 4 lanes: a_query[1:],
+    b_g1_query[1:], h_query (zip-truncated to n-1), l_query
+    (prover.rs:63-113)."""
+    c = get_curve(curve)
+    g1 = codec.g1_ops(c)
+    sbits = c.r.bit_length()
     msm4 = jax.vmap(
         lambda P, s: msm_device(g1, P, s, sbits), in_axes=(0, 0)
     )
-    acc4 = msm4(dpk.g1_msm_points, scalars4)
+    return msm4(dpk.g1_msm_points, scalars4)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_g2_jit(curve: str, dpk: DeviceProvingKey, rho_std: jnp.ndarray):
+    """Phase 2b: the G2 MSM (b_g2_query tail)."""
+    c = get_curve(curve)
+    g2 = codec.g2_ops(c)
+    return msm_device(g2, dpk.b_g2_tail, rho_std, c.r.bit_length())
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _assembly_jit(
+    curve: str,
+    dpk: DeviceProvingKey,
+    acc4,
+    b2_acc,
+    r_bits: jnp.ndarray,
+    s_bits: jnp.ndarray,
+    rs_bits: jnp.ndarray,
+):
+    """Phase 3: O(1) proof assembly (prover.rs:54-132) + to_affine."""
+    c = get_curve(curve)
+    g1 = codec.g1_ops(c)
+    g2 = codec.g2_ops(c)
     a_acc = tuple(x[0] for x in acc4)
     b1_acc = tuple(x[1] for x in acc4)
     h_acc = tuple(x[2] for x in acc4)
     l_aux_acc = tuple(x[3] for x in acc4)
-
-    b2_acc = msm_device(g2, dpk.b_g2_tail, rho_std, sbits)
 
     # batched O(1) scalar muls: [r, s, rs] * delta_g1
     delta3 = tuple(jnp.stack([x, x, x], axis=0) for x in dpk.delta_g1)
@@ -140,6 +157,48 @@ def _prove_jit(
     return (ax, ay, ainf, bx, by, binf)
 
 
+def _prove_phases(curve, dpk, z_mont, r_bits, s_bits, rs_bits):
+    """The full prove as three device programs (witness map | MSMs |
+    assembly).  Split keeps each compiled program within backend
+    program-size limits at large N and gives per-phase profiling; all
+    intermediates stay on device."""
+    scalars4, rho_std = _witness_jit(curve, dpk, z_mont)
+    acc4 = _msm_g1_jit(curve, dpk, scalars4)
+    b2_acc = _msm_g2_jit(curve, dpk, rho_std)
+    return _assembly_jit(curve, dpk, acc4, b2_acc, r_bits, s_bits, rs_bits)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _prove_jit(
+    curve: str,
+    dpk: DeviceProvingKey,
+    z_mont: jnp.ndarray,
+    r_bits: jnp.ndarray,
+    s_bits: jnp.ndarray,
+    rs_bits: jnp.ndarray,
+):
+    """Whole prove as ONE jitted program (used by the driver entry's
+    compile check and small circuits; large circuits go through
+    _prove_phases)."""
+    scalars4, rho_std = _witness_jit.__wrapped__(curve, dpk, z_mont)
+    acc4 = _msm_g1_jit.__wrapped__(curve, dpk, scalars4)
+    b2_acc = _msm_g2_jit.__wrapped__(curve, dpk, rho_std)
+    return _assembly_jit.__wrapped__(
+        curve, dpk, acc4, b2_acc, r_bits, s_bits, rs_bits
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _prove_batch_jit(curve, dpk, z_b, r_b, s_b, rs_b):
+    """vmapped prove: B proofs of the same circuit shape in one program
+    (the batch/pipeline-parallel analog of SURVEY.md §2.4 batch_pp —
+    many proofs in flight with one compiled graph)."""
+    fn = lambda z, rb, sb, rsb: _prove_jit.__wrapped__(
+        curve, dpk, z, rb, sb, rsb
+    )
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0))(z_b, r_b, s_b, rs_b)
+
+
 class TpuProver:
     """Per-(pk, circuit-shape) prover; holds the device key mirror."""
 
@@ -164,7 +223,7 @@ class TpuProver:
     def prove_encoded(self, z_mont: jnp.ndarray, r: int, s: int):
         rr = self.c.r
         nbits = rr.bit_length()
-        return _prove_jit(
+        return _prove_phases(
             self.curve,
             self.dpk,
             z_mont,
@@ -172,6 +231,24 @@ class TpuProver:
             scalar_bits_array(s, nbits),
             scalar_bits_array(r * s % rr, nbits),
         )
+
+    def prove_batch(self, assignments, rs, ss) -> List[Proof]:
+        """B proofs in one vmapped device program (same circuit shape)."""
+        rr = self.c.r
+        nbits = rr.bit_length()
+        B = len(assignments)
+        assert len(rs) == len(ss) == B
+        z_b = jnp.stack([self.encode_assignment(a) for a in assignments])
+        r_b = jnp.stack([scalar_bits_array(r % rr, nbits) for r in rs])
+        s_b = jnp.stack([scalar_bits_array(s % rr, nbits) for s in ss])
+        rs_b = jnp.stack(
+            [scalar_bits_array(r * s % rr, nbits) for r, s in zip(rs, ss)]
+        )
+        out = _prove_batch_jit(self.curve, self.dpk, z_b, r_b, s_b, rs_b)
+        return [
+            decode_proof_arrays(self.curve, tuple(x[i] for x in out))
+            for i in range(B)
+        ]
 
 
 def decode_proof_arrays(curve: str, out) -> Proof:
