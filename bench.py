@@ -35,6 +35,10 @@ BASELINE_PROVE_S = 0.9  # arkworks multicore estimate, see module docstring
 
 
 def main():
+    from groth16_tpu.fields import fp
+    # TPU compiles are cheap; unrolling the CIOS limb loop removes L
+    # sequential scan iterations per multiply (~13% on the MSM).
+    fp.CIOS_UNROLL = True
     from groth16_tpu.curves.params import get_curve
     from groth16_tpu.protocol.generator_tpu import setup_device
     from groth16_tpu.protocol.prover_tpu import TpuProver

@@ -52,6 +52,12 @@ from groth16_tpu.fields.spec import LIMB_BITS, LIMB_MASK, FpSpec, int_to_limbs
 _U32 = jnp.uint32
 MASK = jnp.uint32(LIMB_MASK)
 
+# Unroll the CIOS limb loop instead of lax.scan.  Trades ~3x bigger
+# graphs for removing L sequential while-loop iterations per multiply —
+# a large runtime win on TPU where compiles are cheap; keep False on the
+# CPU backend where compile time dominates.
+CIOS_UNROLL = False
+
 
 def const(spec: FpSpec, value: int, shape=(), mont: bool = True) -> jnp.ndarray:
     """Broadcast a host integer constant to limb-tensor form (exact)."""
@@ -233,8 +239,12 @@ def mont_mul(spec: FpSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         )
         return acc, None
 
-    acc0 = jnp.zeros(batch_shape + (L + 1,), dtype=_U32)
-    acc, _ = jax.lax.scan(step, acc0, aT)
+    acc = jnp.zeros(batch_shape + (L + 1,), dtype=_U32)
+    if CIOS_UNROLL:
+        for i in range(L):
+            acc, _ = step(acc, aT[i])
+    else:
+        acc, _ = jax.lax.scan(step, acc, aT)
     # value < 2p < R: top column is zero; resolve to exact digits
     return rex(acc, L)
 

@@ -189,14 +189,37 @@ def _prove_jit(
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _prove_batch_jit(curve, dpk, z_b, r_b, s_b, rs_b):
-    """vmapped prove: B proofs of the same circuit shape in one program
-    (the batch/pipeline-parallel analog of SURVEY.md §2.4 batch_pp —
-    many proofs in flight with one compiled graph)."""
-    fn = lambda z, rb, sb, rsb: _prove_jit.__wrapped__(
-        curve, dpk, z, rb, sb, rsb
-    )
-    return jax.vmap(fn, in_axes=(0, 0, 0, 0))(z_b, r_b, s_b, rs_b)
+def _witness_batch_jit(curve, dpk, z_b):
+    return jax.vmap(lambda z: _witness_jit.__wrapped__(curve, dpk, z))(z_b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_g1_batch_jit(curve, dpk, s4_b):
+    return jax.vmap(lambda s: _msm_g1_jit.__wrapped__(curve, dpk, s))(s4_b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_g2_batch_jit(curve, dpk, rho_b):
+    return jax.vmap(lambda r: _msm_g2_jit.__wrapped__(curve, dpk, r))(rho_b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _assembly_batch_jit(curve, dpk, acc4_b, b2_b, r_b, s_b, rs_b):
+    return jax.vmap(
+        lambda a4, b2, rb, sb, rsb: _assembly_jit.__wrapped__(
+            curve, dpk, a4, b2, rb, sb, rsb
+        )
+    )(acc4_b, b2_b, r_b, s_b, rs_b)
+
+
+def _prove_batch_phases(curve, dpk, z_b, r_b, s_b, rs_b):
+    """vmapped prove: B proofs of the same circuit shape (the
+    batch/pipeline-parallel analog of SURVEY.md §2.4 batch_pp — many
+    proofs in flight with one set of compiled programs)."""
+    s4_b, rho_b = _witness_batch_jit(curve, dpk, z_b)
+    acc4_b = _msm_g1_batch_jit(curve, dpk, s4_b)
+    b2_b = _msm_g2_batch_jit(curve, dpk, rho_b)
+    return _assembly_batch_jit(curve, dpk, acc4_b, b2_b, r_b, s_b, rs_b)
 
 
 class TpuProver:
@@ -244,7 +267,7 @@ class TpuProver:
         rs_b = jnp.stack(
             [scalar_bits_array(r * s % rr, nbits) for r, s in zip(rs, ss)]
         )
-        out = _prove_batch_jit(self.curve, self.dpk, z_b, r_b, s_b, rs_b)
+        out = _prove_batch_phases(self.curve, self.dpk, z_b, r_b, s_b, rs_b)
         return [
             decode_proof_arrays(self.curve, tuple(x[i] for x in out))
             for i in range(B)

@@ -79,6 +79,35 @@ def test_prover_device_silly_bn254():
     assert verify_proof(pvk, got0, [cval])
 
 
+def test_prover_device_batch_bn254():
+    """vmapped batch proving: B proofs == B sequential proofs."""
+    name = "bn254"
+    rng = Rng(21)
+    c = get_curve(name)
+    pk, vk = setup(MySillyCircuit(), name, rng)
+    pvk = prepare_verifying_key(vk)
+    cases = []
+    for _ in range(3):
+        a, b = rng.field_element(c.r), rng.field_element(c.r)
+        cases.append((a, b, rng.field_element(c.r), rng.field_element(c.r)))
+    cs0 = _synth(MySillyCircuit(a=cases[0][0], b=cases[0][1]), c.r)
+    prover = TpuProver(pk, cs0.to_matrices())
+
+    assignments, rs, ss, expects = [], [], [], []
+    for a, b, r, s in cases:
+        cs = _synth(MySillyCircuit(a=a, b=b), c.r)
+        assignments.append(cs.full_assignment())
+        rs.append(r)
+        ss.append(s)
+        expects.append(
+            create_proof_with_reduction(MySillyCircuit(a=a, b=b), pk, r, s)
+        )
+    got = prover.prove_batch(assignments, rs, ss)
+    assert got == expects
+    for (a, b, _, _), pf in zip(cases, got):
+        assert verify_proof(pvk, pf, [a * b % c.r])
+
+
 def test_prover_device_mimc_bls12_377():
     """The canonical fixture (tests/mimc.rs), proved on the device engine."""
     name = "bls12_377"
