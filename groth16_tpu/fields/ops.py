@@ -193,31 +193,55 @@ class Fp2Ops:
         )
 
     def mul_many(self, pairs):
-        """Inputs: values < 4p.  Outputs: < 2p, exact digits."""
+        """Inputs: values < 4p.  Outputs: < 2p, exact digits.
+
+        Schoolbook with the nonresidue applied as a post add-chain:
+        c0 = v00 + nr*v11 (|nr| small on every registered curve), so all
+        4k Fp multiplies land in ONE stacked call — no dependent
+        pre-multiply in the latency chain.
+        """
         s = self.spec
-        # pre-multiply nr*b1 for every pair (one stacked mul, exact < 2p)
-        nrb1 = _stack_run(
-            lambda x, y: fp.mont_mul(s, x, y),
-            [(b[..., 1, :], self._nr_mont) for _, b in pairs],
-        )
+        nr = self.nr_int
         fp_pairs = []
-        for i, (a, b) in enumerate(pairs):
+        for a, b in pairs:
             a0, a1 = a[..., 0, :], a[..., 1, :]
             b0, b1 = b[..., 0, :], b[..., 1, :]
-            fp_pairs += [(a0, b0), (a1, nrb1[i]), (a0, b1), (a1, b0)]
+            fp_pairs += [(a0, b0), (a1, b1), (a0, b1), (a1, b0)]
         outs = _stack_run(lambda x, y: fp.mont_mul(s, x, y), fp_pairs)
-        # c0 = v00 + v1nr (< 4p lazy), c1 = v01 + v10 (< 4p lazy):
-        # one stacked reduction to < 2p for all lanes' both coords
-        lazies = []
+        c0s, c1s = [], []
         for i in range(len(pairs)):
-            v00, v1nr, v01, v10 = outs[4 * i : 4 * i + 4]
-            lazies.append(v00 + v1nr)
-            lazies.append(v01 + v10)
-        red = _stack_map(
-            lambda x: fp.cond_sub(s, x, s.two_p_limbs), lazies
+            v00, v11, v01, v10 = outs[4 * i : 4 * i + 4]
+            if abs(nr) <= 16:
+                t = _fp_mul_small_lazy(v11, abs(nr))  # < 2|nr| p, lazy
+                if nr < 0:
+                    c0 = (v00, t, 2 * abs(nr))  # defer sub
+                else:
+                    c0 = (v00 + t, None, 2 + 2 * abs(nr))
+            else:
+                w = fp.mont_mul(s, v11, self._nr_mont)
+                c0 = (v00 + w, None, 4)
+            c0s.append(c0)
+            c1s.append(v01 + v10)  # < 4p lazy
+        # stacked sub for the negative-nr c0 lanes (one resolving call)
+        if c0s and c0s[0][1] is not None:
+            k = c0s[0][2]
+            subs = _stack_run(
+                lambda x, y: fp.sub(s, x, y, k=k),
+                [(x, y) for x, y, _ in c0s],
+            )
+            bound = 2 + k
+            c0_vals = subs
+        else:
+            bound = max(kk for _, _, kk in c0s)
+            c0_vals = [x for x, _, _ in c0s]
+        red0 = _stack_map(
+            lambda x: fp.reduce_to_2p(s, x, bound_k=max(4, bound)), c0_vals
+        )
+        red1 = _stack_map(
+            lambda x: fp.cond_sub(s, x, s.two_p_limbs), c1s
         )
         return [
-            self._pack(red[2 * i], red[2 * i + 1]) for i in range(len(pairs))
+            self._pack(red0[i], red1[i]) for i in range(len(pairs))
         ]
 
     def mul(self, a, b):
@@ -234,22 +258,23 @@ class Fp2Ops:
         return jnp.where(mask[..., None, None], a, b)
 
     def _norm(self, a):
-        """a0^2 - nr*a1^2 (< 4p lazy) for inversion."""
+        """a0^2 - nr*a1^2 (value < 8p, exact digits) for inversion."""
         s = self.spec
         a0, a1 = a[..., 0, :], a[..., 1, :]
-        negnr = jnp.asarray(
-            np.array(
-                int_to_limbs(
-                    s.to_mont_int((-self.nr_int) % s.modulus), s.n_limbs
-                ),
-                dtype=np.uint32,
-            )
+        v0, v1 = _stack_run(
+            lambda x, y: fp.mont_mul(s, x, y), [(a0, a0), (a1, a1)]
         )
-        pre = fp.mont_mul(s, a1, negnr)  # -nr * a1
-        v0, w = _stack_run(
-            lambda x, y: fp.mont_mul(s, x, y), [(a0, a0), (a1, pre)]
-        )
-        return v0 + w  # a0^2 + (-nr)*a1^2 < 4p
+        nr = self.nr_int
+        if abs(nr) <= 16:
+            t = _fp_mul_small_lazy(v1, abs(nr))  # < 2|nr| p
+            if nr < 0:
+                out = v0 + t  # norm = a0^2 + |nr| a1^2, lazy
+            else:
+                out = fp.sub(s, v0, t, k=2 * nr)
+            return fp.reduce_to_2p(s, out, bound_k=2 + 2 * abs(nr))
+        w = fp.mont_mul(s, v1, self._nr_mont)
+        # norm = v0 - nr*v1 with a general (positive-residue) nr constant
+        return fp.sub(s, v0, w, k=2)
 
     def inv(self, a):
         s = self.spec
@@ -268,6 +293,20 @@ class Fp2Ops:
             lambda x, y: fp.mont_mul(s, x, y), [(a0, ninv), (a1, ninv)]
         )
         return self._pack(c0, fp.neg(s, c1m, k=2))
+
+
+def _fp_mul_small_lazy(a, n: int):
+    """a * n (small host int >= 1) via lazy add chain on a raw Fp tensor."""
+    assert n >= 1
+    acc = None
+    base = a
+    while n:
+        if n & 1:
+            acc = base if acc is None else acc + base
+        n >>= 1
+        if n:
+            base = base + base
+    return acc
 
 
 def _mul_small(k, a, n: int):

@@ -57,9 +57,11 @@ def msm_sharded_lanes(
     assert scalars.shape[1] % S == 0
 
     def local(pts, sc):
-        acc = jax.vmap(
-            lambda P_, s_: msm_device(g, P_, s_, scalar_bits, window_bits)
-        )(pts, sc)
+        def lane(_, xs):
+            P_, s_ = xs
+            return None, msm_device(g, P_, s_, scalar_bits, window_bits)
+
+        _, acc = jax.lax.scan(lane, None, (pts, sc))
         gathered = tuple(
             jax.lax.all_gather(x, axis, axis=1) for x in acc
         )  # [lanes, S, ...]
