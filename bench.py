@@ -1,20 +1,31 @@
 """Benchmark driver: end-to-end Groth16 prove on the attached TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+`extras` carries the sub-metrics BASELINE.json asks for (per-phase times,
+MSM points/s, NTT butterflies/s, verify latency, evaluate_constraint
+microbench, compile times).
 
-Config: synthetic R1CS (DummyCircuit, benches/bench.rs:22-64 analog) at
-2^16 constraints on BN254 — BASELINE.json config #2.  Wall-clock is the
+Config: synthetic R1CS (DummyCircuit, /root/reference/benches/bench.rs:22-64
+analog) at 2^G16_BENCH_LOGN constraints on G16_BENCH_CURVE —
+BASELINE.json configs #2 (2^16 bn254) and #3 (2^20 bls12_381; the
+reference's own bench size, bench.rs:19-20).  Wall-clock is the
 steady-state device prove (witness map + 5 MSMs + assembly), proving-key
 resident on device, assignment streamed in — the
 create_proof_with_reduction_and_matrices shape (prover.rs:26-51).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and this
-image has no Rust toolchain to run its harness, so the baseline constant
-below is an arkworks-measured-elsewhere estimate for a multicore x86
-host: ~0.9 s for a 2^16-constraint BLS12-381/BN254 prove at 16-32 cores
-(scaled from public arkworks bench reports of ~850 ns/constraint-class
-provers).  vs_baseline = baseline_s / ours_s (>1 means faster than the
-estimate).  Treat it as indicative until the Rust harness can run.
+## Baseline (vs_baseline)
+
+The reference publishes no numbers (BASELINE.md) and this image has no
+Rust toolchain, so the denominator is an explicit MODEL, not a
+measurement: arkworks' rayon prover on a 96-core x86 host at
+~900 ns/constraint for 2^20 (scaling to ~1300 ns/constraint at 2^16 and
+~2000 at 2^12 as per-core batch sizes shrink).  The model is derived
+from the prove cost profile (4 G1 MSMs + 1 G2 MSM + 7 NTTs,
+SURVEY.md §0) and public multicore MSM throughput reports for
+arkworks-class implementations; see BASELINE.md for the derivation and
+its error bars.  vs_baseline = model_s / ours_s (>1 = faster than the
+modeled 96-core host).  It is clearly labeled `baseline_kind: "model"`
+in the output — never presented as a measurement.
 """
 
 import json
@@ -29,30 +40,49 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_g16")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CURVE = "bn254"
+CURVE = os.environ.get("G16_BENCH_CURVE", "bn254")
 LOG_N = int(os.environ.get("G16_BENCH_LOGN", "16"))
-BASELINE_PROVE_S = 0.9  # arkworks multicore estimate, see module docstring
+
+# modeled arkworks 96-core ns/constraint (see module docstring + BASELINE.md)
+_MODEL_NS_PER_CONSTRAINT = {12: 2000.0, 16: 1300.0, 20: 900.0, 24: 800.0}
+
+
+def model_prove_seconds(log_n: int) -> float:
+    ks = sorted(_MODEL_NS_PER_CONSTRAINT)
+    if log_n <= ks[0]:
+        npc = _MODEL_NS_PER_CONSTRAINT[ks[0]]
+    elif log_n >= ks[-1]:
+        npc = _MODEL_NS_PER_CONSTRAINT[ks[-1]]
+    else:
+        for lo, hi in zip(ks, ks[1:]):
+            if lo <= log_n <= hi:
+                f = (log_n - lo) / (hi - lo)
+                npc = (1 - f) * _MODEL_NS_PER_CONSTRAINT[lo] + f * _MODEL_NS_PER_CONSTRAINT[hi]
+                break
+    return npc * (1 << log_n) * 1e-9
 
 
 def main():
-    from groth16_tpu.fields import fp
-    # TPU compiles are cheap; unrolling the CIOS limb loop removes L
-    # sequential scan iterations per multiply (~13% on the MSM).
-    fp.CIOS_UNROLL = True
+    from groth16_tpu.config import CONFIG
     from groth16_tpu.curves.params import get_curve
     from groth16_tpu.protocol.generator_tpu import setup_device
     from groth16_tpu.protocol.prover_tpu import TpuProver
     from groth16_tpu.protocol.verifier import prepare_verifying_key, verify_proof
     from groth16_tpu.r1cs.circuits import DummyCircuit
     from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisMode
+    from groth16_tpu.utils.profiling import (
+        PhaseTimer,
+        msm_work_point_adds,
+        ntt_butterflies,
+    )
     from groth16_tpu.utils.rng import Rng
-
     from groth16_tpu.serde import deserialize_proving_key, serialize_proving_key
 
     c = get_curve(CURVE)
     n_constraints = (1 << LOG_N) - 2  # domain = 2^LOG_N with 2 instance vars
     n_vars = 1 << (LOG_N - 1)
     rng = Rng(0xBE7C)
+    extras = {"curve": CURVE, "log_n": LOG_N, "baseline_kind": "model"}
 
     cache = f"/root/.cache/g16_bench_pk_{CURVE}_{LOG_N}.bin"
     t0 = time.time()
@@ -64,8 +94,8 @@ def main():
         print(f"# pk loaded from cache: {time.time() - t0:.1f}s", file=sys.stderr)
     else:
         pk, vk = setup_device(DummyCircuit(n_vars, n_constraints), CURVE, rng)
-        setup_s = time.time() - t0
-        print(f"# setup (device batch muls): {setup_s:.1f}s", file=sys.stderr)
+        extras["setup_s"] = round(time.time() - t0, 1)
+        print(f"# setup (device batch muls): {extras['setup_s']}s", file=sys.stderr)
         with open(cache, "wb") as f:
             f.write(serialize_proving_key(pk, compress=False))
 
@@ -77,32 +107,93 @@ def main():
 
     t0 = time.time()
     prover = TpuProver(pk, matrices)
-    upload_s = time.time() - t0
-    print(f"# pk upload: {upload_s:.1f}s", file=sys.stderr)
+    extras["pk_upload_s"] = round(time.time() - t0, 1)
+    print(f"# pk upload: {extras['pk_upload_s']}s", file=sys.stderr)
 
     r, s = rng.field_element(c.r), rng.field_element(c.r)
     t0 = time.time()
     proof = prover.prove(z, r, s)
-    first_s = time.time() - t0
-    print(f"# first prove (compile+run): {first_s:.1f}s", file=sys.stderr)
+    extras["first_prove_compile_s"] = round(time.time() - t0, 1)
+    print(f"# first prove (compile+run): {extras['first_prove_compile_s']}s",
+          file=sys.stderr)
 
     pvk = prepare_verifying_key(vk)
     assert verify_proof(pvk, proof, [a * b % c.r]), "proof must verify"
 
     times = []
+    timer = PhaseTimer(verbose=False)
     for i in range(3):
         r, s = rng.field_element(c.r), rng.field_element(c.r)
         t0 = time.time()
-        prover.prove(z, r, s)
+        prover.prove(z, r, s, timer=timer if i == 2 else None)
         times.append(time.time() - t0)
     wall = min(times)
     print(f"# steady-state proves: {[round(t, 2) for t in times]}", file=sys.stderr)
+    phases = timer.as_dict()
+    extras["phases_s"] = {k: round(v, 3) for k, v in phases.items()}
 
+    # throughput metrics (BASELINE.json: MSM points/s, NTT butterflies/s)
+    n_pad = prover.dpk.n_pad
+    msm_pts = 4 * n_pad + (len(pk.b_g2_query) - 1)
+    if "msm_g1_x4" in phases:
+        extras["msm_g1_points_per_s"] = round(4 * n_pad / phases["msm_g1_x4"])
+        extras["msm_g2_points_per_s"] = round(
+            (len(pk.b_g2_query) - 1) / phases["msm_g2"]
+        )
+        domain_n = prover.dpk.domain.size
+        extras["ntt_butterflies_per_s"] = round(
+            7 * ntt_butterflies(domain_n) / phases["witness_map"]
+        )
+        extras["msm_point_adds_est"] = msm_work_point_adds(
+            n_pad, c.r.bit_length(),
+            __import__("groth16_tpu.msm.pippenger", fromlist=["x"]
+                       ).choose_window_bits(n_pad, c.r.bit_length()),
+        )
+
+    # verify latency (benches/bench.rs:97-124; exact-int host verifier —
+    # reported honestly even though it is not a device path yet)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        verify_proof(pvk, proof, [a * b % c.r])
+    extras["verify_latency_s"] = round((time.time() - t0) / reps, 3)
+
+    # evaluate_constraint microbench (benches/bench.rs:126-150 analog):
+    # device sparse matvec at nnz = 10^2..10^5
+    from groth16_tpu.qap.device import sparse_matvec, DeviceMatrix
+    import numpy as np
+    import jax.numpy as jnp
+    from groth16_tpu.fields.spec import encode as enc
+
+    fr = prover.fr
+    ec = {}
+    rnd = np.random.RandomState(7)
+    nv = max(1024, min(65536, len(z)))
+    z_dev = jnp.asarray(enc(list(z[:nv]) + [0] * max(0, nv - len(z)), fr))
+    for nnz in (100, 1000, 10000, 100000):
+        cols = jnp.asarray(rnd.randint(0, nv, size=nnz).astype(np.int32))
+        coeffs = jnp.asarray(enc([3] * nnz, fr))
+        dm = DeviceMatrix(
+            coeffs=coeffs, cols=cols,
+            seg_start=jnp.zeros((nnz,), jnp.bool_).at[0].set(True),
+            end_idx=jnp.asarray([nnz - 1], jnp.int32),
+            nonempty=jnp.asarray([True]), num_rows=1,
+        )
+        fn = jax.jit(lambda d, zz: sparse_matvec(fr, d, zz))
+        jax.block_until_ready(fn(dm, z_dev))
+        t0 = time.time()
+        jax.block_until_ready(fn(dm, z_dev))
+        ec[str(nnz)] = round((time.time() - t0) * 1e3, 3)
+    extras["evaluate_constraint_ms"] = ec
+
+    model_s = model_prove_seconds(LOG_N)
+    extras["baseline_model_s"] = round(model_s, 3)
     print(json.dumps({
         "metric": f"prove_2p{LOG_N}_{CURVE}_wall",
         "value": round(wall, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_PROVE_S / wall, 3),
+        "vs_baseline": round(model_s / wall, 3),
+        "extras": extras,
     }))
 
 

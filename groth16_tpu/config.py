@@ -1,0 +1,63 @@
+"""Engine configuration (SURVEY.md §5.6 "config / flag system").
+
+The reference's analog is Cargo features + `RAYON_NUM_THREADS`
+(/root/reference/Cargo.toml:44-49, benches/bench.rs:2).  Here one mutable
+module-level `CONFIG` dataclass holds the kernel-strategy knobs; tests and
+benches flip fields via `configure(...)` (a context manager) instead of
+mutating module globals scattered across the engine.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # Montgomery-multiply strategy for the XLA (non-Pallas) path: unroll
+    # the CIOS limb loop (bigger graphs, no sequential scan steps — wins
+    # on TPU where compiles are cheap) or keep it a lax.scan (small
+    # graphs — right for the CPU backend where compile time dominates).
+    cios_unroll: bool = False
+    # Pallas kernel dispatch: "auto" = use Pallas kernels when the active
+    # JAX backend is TPU; "on" = always (interpret-mode off-TPU is NOT
+    # implied — "on" off-TPU will fail to lower); "off" = pure XLA.
+    use_pallas: str = "auto"
+    # Minimum flattened element count for the Pallas mont_mul path;
+    # smaller batches stay on the XLA path (kernel launch isn't worth it).
+    pallas_min_elems: int = 256
+    # Lane-block width of Pallas field kernels (elements per grid step).
+    pallas_block: int = 512
+    # Pippenger window override (None = analytic chooser).
+    msm_window_bits: Optional[int] = None
+    # HBM budget for one window-group's gathered point copies (the MSM
+    # batches windows into groups; ~3x this is the peak extra footprint).
+    msm_group_bytes: int = 3 << 28  # 768 MiB
+
+
+CONFIG = EngineConfig()
+
+
+def pallas_enabled() -> bool:
+    import jax
+
+    if CONFIG.use_pallas == "on":
+        return True
+    if CONFIG.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def configure(**kwargs):
+    """Temporarily override CONFIG fields."""
+    old = {k: getattr(CONFIG, k) for k in kwargs}
+    try:
+        for k, v in kwargs.items():
+            setattr(CONFIG, k, v)
+        yield CONFIG
+    finally:
+        for k, v in old.items():
+            setattr(CONFIG, k, v)

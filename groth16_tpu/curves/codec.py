@@ -41,15 +41,16 @@ def scalars_to_device(values: Sequence[int], fr_spec: FpSpec) -> jnp.ndarray:
 
 
 def g1_to_device(c: CurveParams, pts: Sequence[Optional[Tuple[int, int]]]) -> Point:
-    """Affine G1 points -> Jacobian device batch (Z=1; None -> Z=0)."""
+    """Affine G1 points -> projective device batch [L, N] (Z=1; None ->
+    Z=0)."""
     spec = make_spec(c.p, name=f"{c.name}.Fq")
     xs = [p[0] if p is not None else 0 for p in pts]
     ys = [p[1] if p is not None else 1 for p in pts]
     inf = np.array([p is None for p in pts])
     x = jnp.asarray(encode(xs, spec))
     y = jnp.asarray(encode(ys, spec))
-    one = encode([1], spec)[0]
-    z = jnp.asarray(np.where(inf[:, None], np.zeros_like(one), one))
+    one = encode([1], spec)  # [L, 1]
+    z = jnp.asarray(np.where(inf[None, :], np.zeros_like(one), one))
     return (x, y, z)
 
 
@@ -57,20 +58,21 @@ def g2_to_device(c: CurveParams, pts) -> Point:
     """Affine G2 points ((c0,c1),(c0,c1)) -> Jacobian device batch."""
     spec = make_spec(c.p, name=f"{c.name}.Fq")
 
-    def enc2(vals):  # list of (c0, c1) -> [N, 2, L]
+    def enc2(vals):  # list of (c0, c1) -> [L, 2, N]
         flat = []
         for v in vals:
             flat.extend(v)
-        arr = encode(flat, spec)
-        return jnp.asarray(arr.reshape(len(vals), 2, spec.n_limbs))
+        arr = encode(flat, spec)  # [L, 2N]; column 2i = c0_i, 2i+1 = c1_i
+        arr = arr.reshape(spec.n_limbs, len(vals), 2).transpose(0, 2, 1)
+        return jnp.asarray(np.ascontiguousarray(arr))
 
     xs = [p[0] if p is not None else (0, 0) for p in pts]
     ys = [p[1] if p is not None else (1, 0) for p in pts]
     inf = np.array([p is None for p in pts])
     x = enc2(xs)
     y = enc2(ys)
-    one = encode([1, 0], spec).reshape(2, spec.n_limbs)
-    z = jnp.asarray(np.where(inf[:, None, None], np.zeros_like(one), one))
+    one = encode([1, 0], spec).reshape(spec.n_limbs, 2, 1)
+    z = jnp.asarray(np.where(inf[None, None, :], np.zeros_like(one), one))
     return (x, y, z)
 
 
@@ -79,7 +81,7 @@ def g1_from_device(c: CurveParams, g: CurveDevice, pt: Point):
     spec = g.k.spec
     single = pt[2].ndim == g.k.coord_ndim
     if single:
-        pt = tuple(a[None] for a in pt)
+        pt = tuple(a[..., None] for a in pt)
     x, y, inf = g.to_affine(pt)
     xs = decode(np.asarray(x), spec)
     ys = decode(np.asarray(y), spec)
@@ -92,11 +94,13 @@ def g2_from_device(c: CurveParams, g: CurveDevice, pt: Point):
     spec = g.k.spec
     single = pt[2].ndim == g.k.coord_ndim
     if single:
-        pt = tuple(a[None] for a in pt)
-    x, y, inf = g.to_affine(pt)
-    n = x.shape[0]
-    xs = decode(np.asarray(x).reshape(n * 2, -1), spec)
-    ys = decode(np.asarray(y).reshape(n * 2, -1), spec)
+        pt = tuple(a[..., None] for a in pt)
+    x, y, inf = g.to_affine(pt)  # [L, 2, N]
+    n = x.shape[-1]
+    # -> [L, N, 2] so decode's row-major batch flattening interleaves
+    # (c0_i, c1_i) pairs
+    xs = decode(np.moveaxis(np.asarray(x), 1, 2), spec)
+    ys = decode(np.moveaxis(np.asarray(y), 1, 2), spec)
     infs = np.asarray(inf)
     out = [
         None

@@ -19,8 +19,11 @@ Scope: all protocol points live in the prime-order subgroup (the only
 regime Groth16 touches), where the law is total.
 
 Data model: a batch of points is (X, Y, Z) limb tensors with a shared
-batch shape; infinity is exactly (0, 1, 0).  Coordinates hold values in
-[0, 2p) with resolved digits; all laziness is internal to one addition.
+batch shape; infinity is exactly (0, 1, 0).  Coordinate (limb/tower)
+axes LEAD and batch axes TRAIL (see fields/fp.py) so batch masks
+broadcast plainly and element gathers are uniform `c[..., idx]`.
+Coordinates hold values in [0, 2p) with resolved digits; all laziness is
+internal to one addition.
 
 Level batching: the 12 multiplies fold into 3 stacked limb-engine calls
 (6 + 2 + 6 lanes); the subtractions into 3 resolving calls; the final
@@ -42,6 +45,7 @@ class CurveDevice:
     def __init__(self, k, b3):
         """k: FpOps | Fp2Ops; b3: 3*b curve constant (int or (c0,c1))."""
         self.k = k
+        self.b3_val = b3
         self.b3 = k.const(b3)
 
     # -- constructors --------------------------------------------------------
@@ -53,7 +57,7 @@ class CurveDevice:
     def from_affine(self, x, y, inf_mask=None) -> Point:
         """(x, y) limb tensors (+ optional bool infinity mask) -> projective."""
         k = self.k
-        shape = x.shape[: x.ndim - k.coord_ndim]
+        shape = x.shape[k.coord_ndim :]
         z = k.one(shape)
         if inf_mask is not None:
             x = k.select(inf_mask, k.zero(shape), x)
@@ -62,7 +66,7 @@ class CurveDevice:
         return (x, y, z)
 
     def batch_shape(self, pt: Point):
-        return pt[2].shape[: pt[2].ndim - self.k.coord_ndim]
+        return pt[2].shape[self.k.coord_ndim :]
 
     # -- predicates ----------------------------------------------------------
 
@@ -76,12 +80,63 @@ class CurveDevice:
         return tuple(k.select(mask, x, y) for x, y in zip(a, b))
 
     def index(self, pt: Point, idx) -> Point:
-        return tuple(c[idx] for c in pt)
+        """Select along the leading batch axis (batch axes trail the
+        coordinate axes, so this is `c[..., idx]`; 1-D batches only)."""
+        return tuple(c[..., idx] for c in pt)
 
     # -- group law -------------------------------------------------------------
 
     def neg(self, pt: Point) -> Point:
         return (pt[0], self.k.neg(pt[1], k=2), pt[2])
+
+    def _fused_add(self, p1: Point, p2: Point):
+        """Dispatch to the fused Pallas RCB kernel (curves/pallas_point.py)
+        when profitable: Fp coords (G1), TPU backend, one uniform batch
+        shape whose flattened size blocks cleanly.  Returns None to fall
+        through to the stacked XLA path (bit-identical results)."""
+        from groth16_tpu.config import CONFIG, pallas_enabled
+
+        k = self.k
+        if not pallas_enabled():
+            return None
+        is_fp2 = k.coord_ndim == 2
+        if is_fp2 and not (1 <= abs(getattr(k, "nr_int", 0)) <= 16):
+            return None
+        shapes = {x.shape for x in p1} | {x.shape for x in p2}
+        if len(shapes) != 1:
+            return None
+        shape = shapes.pop()
+        n = 1
+        for d in shape[k.coord_ndim :]:
+            n *= d
+        if n < CONFIG.pallas_min_elems:
+            return None
+        blk = min(CONFIG.pallas_block, n & -n)
+        if blk < 128:
+            return None
+        L = shape[0]
+        if is_fp2:
+            from groth16_tpu.curves.pallas_point import add_g2_pallas
+
+            out = add_g2_pallas(
+                k.spec,
+                k.nr_int,
+                self.b3_val,
+                tuple(x.reshape(L, 2, n) for x in p1),
+                tuple(x.reshape(L, 2, n) for x in p2),
+                blk,
+            )
+        else:
+            from groth16_tpu.curves.pallas_point import add_g1_pallas
+
+            out = add_g1_pallas(
+                k.spec,
+                self.b3_val,
+                tuple(x.reshape(L, n) for x in p1),
+                tuple(x.reshape(L, n) for x in p2),
+                blk,
+            )
+        return tuple(x.reshape(shape) for x in out)
 
     def add(self, p1: Point, p2: Point) -> Point:
         """Complete addition (RCB a=0).  Inputs/outputs: coords < 2p exact.
@@ -90,6 +145,9 @@ class CurveDevice:
         <= 16p^2; t3/t4/t5 < 6p; t0t < 6p; M2 <= 6p^2; Z3s/t1m < 4p;
         M3 products <= 36p^2; X3/Y3/Z3 pre-reduce < 4p.
         """
+        fused = self._fused_add(p1, p2)
+        if fused is not None:
+            return fused
         k = self.k
         X1, Y1, Z1 = p1
         X2, Y2, Z2 = p2
@@ -157,18 +215,18 @@ class CurveDevice:
     # -- reductions --------------------------------------------------------------
 
     def tree_reduce(self, pt: Point) -> Point:
-        """Sum a [N, ...] batch of points down to a single point, log2(N)
+        """Sum an [N]-batch of points down to a single point, log2(N)
         rounds of halving vector adds (N padded to a power of two with
         infinities).  For large N prefer msm.scans.reduce_points (O(1)
         graph)."""
-        n = pt[2].shape[0]
+        n = pt[2].shape[-1]
         m = 1
         while m < n:
             m <<= 1
         if m != n:
-            pad = self.infinity((m - n,) + self.batch_shape(pt)[1:])
+            pad = self.infinity(self.batch_shape(pt)[:-1] + (m - n,))
             pt = tuple(
-                jnp.concatenate([c, p], axis=0) for c, p in zip(pt, pad)
+                jnp.concatenate([c, p], axis=-1) for c, p in zip(pt, pad)
             )
         while m > 1:
             h = m // 2

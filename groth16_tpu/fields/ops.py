@@ -6,9 +6,12 @@ ledger) on limb tensors, so one complete-formula point kernel serves both
 G1 (coords in Fq) and G2 (coords in Fq2).  This realizes the `ark-ec`
 tower consumption described in SURVEY.md §2.2 ("Curve groups" row).
 
-Element layouts:
-  Fp : uint32[..., L]      (15-bit digits, Montgomery form)
-  Fp2: uint32[..., 2, L]   (c0/c1 stacked on axis -2, each an Fp element)
+Element layouts (limb-major — see fields/fp.py):
+  Fp : uint32[L, *batch]       (15-bit digits, Montgomery form)
+  Fp2: uint32[L, 2, *batch]    (c0/c1 stacked on axis 1)
+Coordinate axes LEAD and batch axes TRAIL, so batch-shaped masks
+broadcast with no axis insertion, element gathers are uniform
+`x[..., idx]`, and the minor (lane) axis is always a wide element axis.
 
 `mul_many`/`sub_many` batch independent same-shape ops into one stacked
 limb-engine call — the point kernel is written against these so a
@@ -33,24 +36,38 @@ from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import FpSpec, int_to_limbs
 
 
-def _stack_run(op, pairs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]) -> List:
+def _bbc(x: jnp.ndarray, coord_ndim: int, batch_shape: Tuple[int, ...]) -> jnp.ndarray:
+    """Broadcast an element tensor (coords leading) to a full batch shape,
+    inserting missing batch axes after the coord axes."""
+    cs = x.shape[:coord_ndim]
+    add = len(batch_shape) - (x.ndim - coord_ndim)
+    x = x.reshape(cs + (1,) * add + x.shape[coord_ndim:])
+    return jnp.broadcast_to(x, cs + tuple(batch_shape))
+
+
+def _stack_run(op, pairs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]], cd: int) -> List:
+    """Run `op` once over pairs stacked on a new batch axis at position
+    `cd` (just after the coordinate axes)."""
     if len(pairs) == 1:
         return [op(pairs[0][0], pairs[0][1])]
-    shape = jnp.broadcast_shapes(*[jnp.broadcast_shapes(a.shape, b.shape)
-                                   for a, b in pairs])
-    a = jnp.stack([jnp.broadcast_to(x, shape) for x, _ in pairs], axis=0)
-    b = jnp.stack([jnp.broadcast_to(y, shape) for _, y in pairs], axis=0)
+    bshape = jnp.broadcast_shapes(
+        *[jnp.broadcast_shapes(a.shape[cd:], b.shape[cd:]) for a, b in pairs]
+    )
+    a = jnp.stack([_bbc(x, cd, bshape) for x, _ in pairs], axis=cd)
+    b = jnp.stack([_bbc(y, cd, bshape) for _, y in pairs], axis=cd)
     out = op(a, b)
-    return [out[i] for i in range(len(pairs))]
+    idx = (slice(None),) * cd
+    return [out[idx + (i,)] for i in range(len(pairs))]
 
 
-def _stack_map(op, items: Sequence[jnp.ndarray]) -> List:
+def _stack_map(op, items: Sequence[jnp.ndarray], cd: int) -> List:
     if len(items) == 1:
         return [op(items[0])]
-    shape = jnp.broadcast_shapes(*[x.shape for x in items])
-    a = jnp.stack([jnp.broadcast_to(x, shape) for x in items], axis=0)
+    bshape = jnp.broadcast_shapes(*[x.shape[cd:] for x in items])
+    a = jnp.stack([_bbc(x, cd, bshape) for x in items], axis=cd)
     out = op(a)
-    return [out[i] for i in range(len(items))]
+    idx = (slice(None),) * cd
+    return [out[idx + (i,)] for i in range(len(items))]
 
 
 class FpOps:
@@ -58,7 +75,7 @@ class FpOps:
 
     def __init__(self, spec: FpSpec):
         self.spec = spec
-        self.coord_ndim = 1  # trailing dims per element: (L,)
+        self.coord_ndim = 1  # leading dims per element: (L,)
 
     def coord_shape(self):
         return (self.spec.n_limbs,)
@@ -74,7 +91,7 @@ class FpOps:
 
     # lazy ops (value bounds add; digits grow)
     def add(self, a, b):
-        return a + b
+        return fp.add(self.spec, a, b)
 
     def dbl(self, a):
         return a + a
@@ -90,7 +107,7 @@ class FpOps:
         return fp.sub_exact(self.spec, a, b, k=k)
 
     def sub_many(self, pairs, k: int = 2):
-        return _stack_run(lambda a, b: fp.sub(self.spec, a, b, k=k), pairs)
+        return _stack_run(lambda a, b: fp.sub(self.spec, a, b, k=k), pairs, 1)
 
     def neg(self, a, k: int = 2):
         return fp.neg(self.spec, a, k=k)
@@ -98,7 +115,7 @@ class FpOps:
     def reduce2p_many(self, items, bound_k: int = 4):
         """Stacked value reduction to [0, 2p)."""
         return _stack_map(
-            lambda x: fp.reduce_to_2p(self.spec, x, bound_k=bound_k), items
+            lambda x: fp.reduce_to_2p(self.spec, x, bound_k=bound_k), items, 1
         )
 
     def mul(self, a, b):
@@ -108,14 +125,14 @@ class FpOps:
         return fp.mont_mul(self.spec, a, a)
 
     def mul_many(self, pairs):
-        return _stack_run(lambda a, b: fp.mont_mul(self.spec, a, b), pairs)
+        return _stack_run(lambda a, b: fp.mont_mul(self.spec, a, b), pairs, 1)
 
     def is_zero(self, a, bound_k: int = 8):
         return fp.is_zero(self.spec, a, bound_k=bound_k)
 
     def select(self, mask, a, b):
-        """mask ? a : b with mask of batch shape (broadcast over elem dims)."""
-        return jnp.where(mask[..., None], a, b)
+        """mask ? a : b with mask of batch shape (trailing broadcast)."""
+        return jnp.where(mask, a, b)
 
     def inv(self, a):
         return fp.inv(self.spec, a)
@@ -127,9 +144,8 @@ class FpOps:
 class Fp2Ops:
     """Device ops for Fq2 = Fq[u]/(u^2 - nonresidue) (G2 coordinates).
 
-    Schoolbook multiplication with the nonresidue folded into a
-    pre-multiplied lane:  c0 = a0*b0 + a1*(nr*b1), c1 = a0*b1 + a1*b0,
-    where nr*b1 is one extra stacked Montgomery lane (exact, < 2p) —
+    Schoolbook multiplication with the nonresidue folded into a lazy
+    post add-chain:  c0 = a0*b0 + nr*(a1*b1), c1 = a0*b1 + a1*b0 —
     keeping every product within the 64 p^2 budget for inputs < 4p.
     """
 
@@ -137,7 +153,7 @@ class Fp2Ops:
         self.spec = spec
         self.nr_int = nonresidue  # signed small int
         self.nonresidue = nonresidue % spec.modulus
-        self.coord_ndim = 2  # trailing dims per element: (2, L)
+        self.coord_ndim = 2  # leading dims per element: (L, 2)
         self._nr_mont = jnp.asarray(
             np.array(
                 int_to_limbs(spec.to_mont_int(self.nonresidue), spec.n_limbs),
@@ -146,13 +162,13 @@ class Fp2Ops:
         )
 
     def coord_shape(self):
-        return (2, self.spec.n_limbs)
+        return (self.spec.n_limbs, 2)
 
     def _pack(self, c0, c1):
-        return jnp.stack([c0, c1], axis=-2)
+        return jnp.stack([c0, c1], axis=1)
 
     def zero(self, shape=()):
-        return fp.zeros(self.spec, tuple(shape) + (2,))
+        return fp.zeros(self.spec, (2,) + tuple(shape))
 
     def one(self, shape=()):
         return self._pack(fp.const(self.spec, 1, shape), fp.zeros(self.spec, shape))
@@ -167,7 +183,7 @@ class Fp2Ops:
 
     # lazy ops: componentwise over the stacked axis
     def add(self, a, b):
-        return a + b
+        return fp.add(self.spec, a, b)
 
     def dbl(self, a):
         return a + a
@@ -182,14 +198,14 @@ class Fp2Ops:
         return fp.sub_exact(self.spec, a, b, k=k)
 
     def sub_many(self, pairs, k: int = 2):
-        return _stack_run(lambda a, b: fp.sub(self.spec, a, b, k=k), pairs)
+        return _stack_run(lambda a, b: fp.sub(self.spec, a, b, k=k), pairs, 2)
 
     def neg(self, a, k: int = 2):
         return fp.neg(self.spec, a, k=k)
 
     def reduce2p_many(self, items, bound_k: int = 4):
         return _stack_map(
-            lambda x: fp.reduce_to_2p(self.spec, x, bound_k=bound_k), items
+            lambda x: fp.reduce_to_2p(self.spec, x, bound_k=bound_k), items, 2
         )
 
     def mul_many(self, pairs):
@@ -204,10 +220,10 @@ class Fp2Ops:
         nr = self.nr_int
         fp_pairs = []
         for a, b in pairs:
-            a0, a1 = a[..., 0, :], a[..., 1, :]
-            b0, b1 = b[..., 0, :], b[..., 1, :]
+            a0, a1 = a[:, 0], a[:, 1]
+            b0, b1 = b[:, 0], b[:, 1]
             fp_pairs += [(a0, b0), (a1, b1), (a0, b1), (a1, b0)]
-        outs = _stack_run(lambda x, y: fp.mont_mul(s, x, y), fp_pairs)
+        outs = _stack_run(lambda x, y: fp.mont_mul(s, x, y), fp_pairs, 1)
         c0s, c1s = [], []
         for i in range(len(pairs)):
             v00, v11, v01, v10 = outs[4 * i : 4 * i + 4]
@@ -219,7 +235,7 @@ class Fp2Ops:
                     c0 = (v00 + t, None, 2 + 2 * abs(nr))
             else:
                 w = fp.mont_mul(s, v11, self._nr_mont)
-                c0 = (v00 + w, None, 4)
+                c0 = (fp.add(s, v00, w), None, 4)
             c0s.append(c0)
             c1s.append(v01 + v10)  # < 4p lazy
         # stacked sub for the negative-nr c0 lanes (one resolving call)
@@ -228,6 +244,7 @@ class Fp2Ops:
             subs = _stack_run(
                 lambda x, y: fp.sub(s, x, y, k=k),
                 [(x, y) for x, y, _ in c0s],
+                1,
             )
             bound = 2 + k
             c0_vals = subs
@@ -235,10 +252,10 @@ class Fp2Ops:
             bound = max(kk for _, _, kk in c0s)
             c0_vals = [x for x, _, _ in c0s]
         red0 = _stack_map(
-            lambda x: fp.reduce_to_2p(s, x, bound_k=max(4, bound)), c0_vals
+            lambda x: fp.reduce_to_2p(s, x, bound_k=max(4, bound)), c0_vals, 1
         )
         red1 = _stack_map(
-            lambda x: fp.cond_sub(s, x, s.two_p_limbs), c1s
+            lambda x: fp.cond_sub(s, x, s.two_p_limbs), c1s, 1
         )
         return [
             self._pack(red0[i], red1[i]) for i in range(len(pairs))
@@ -251,18 +268,19 @@ class Fp2Ops:
         return self.mul_many([(a, a)])[0]
 
     def is_zero(self, a, bound_k: int = 8):
-        z = fp.is_zero(self.spec, a, bound_k=bound_k)
-        return jnp.logical_and(z[..., 0], z[..., 1])
+        # the component axis is just another batch axis to the limb engine
+        z = fp.is_zero(self.spec, a, bound_k=bound_k)  # [2, *batch]
+        return jnp.logical_and(z[0], z[1])
 
     def select(self, mask, a, b):
-        return jnp.where(mask[..., None, None], a, b)
+        return jnp.where(mask, a, b)
 
     def _norm(self, a):
         """a0^2 - nr*a1^2 (value < 8p, exact digits) for inversion."""
         s = self.spec
-        a0, a1 = a[..., 0, :], a[..., 1, :]
+        a0, a1 = a[:, 0], a[:, 1]
         v0, v1 = _stack_run(
-            lambda x, y: fp.mont_mul(s, x, y), [(a0, a0), (a1, a1)]
+            lambda x, y: fp.mont_mul(s, x, y), [(a0, a0), (a1, a1)], 1
         )
         nr = self.nr_int
         if abs(nr) <= 16:
@@ -279,18 +297,18 @@ class Fp2Ops:
     def inv(self, a):
         s = self.spec
         ninv = fp.inv(s, self._norm(a))
-        a0, a1 = a[..., 0, :], a[..., 1, :]
+        a0, a1 = a[:, 0], a[:, 1]
         c0, c1m = _stack_run(
-            lambda x, y: fp.mont_mul(s, x, y), [(a0, ninv), (a1, ninv)]
+            lambda x, y: fp.mont_mul(s, x, y), [(a0, ninv), (a1, ninv)], 1
         )
         return self._pack(c0, fp.neg(s, c1m, k=2))
 
     def batch_inv(self, a):
         s = self.spec
         ninv = fp.batch_inv(s, self._norm(a))
-        a0, a1 = a[..., 0, :], a[..., 1, :]
+        a0, a1 = a[:, 0], a[:, 1]
         c0, c1m = _stack_run(
-            lambda x, y: fp.mont_mul(s, x, y), [(a0, ninv), (a1, ninv)]
+            lambda x, y: fp.mont_mul(s, x, y), [(a0, ninv), (a1, ninv)], 1
         )
         return self._pack(c0, fp.neg(s, c1m, k=2))
 
@@ -313,7 +331,7 @@ def _mul_small(k, a, n: int):
     """a * n for small host ints, LAZY (value scales by n)."""
     assert n >= 0
     if n == 0:
-        return k.zero(a.shape[: a.ndim - k.coord_ndim])
+        return k.zero(a.shape[k.coord_ndim :])
     acc = None
     base = a
     while n:

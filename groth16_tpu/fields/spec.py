@@ -107,7 +107,8 @@ def make_spec(modulus: int, name: str = "fp") -> FpSpec:
 
 
 def encode(values, spec: FpSpec, mont: bool = True) -> np.ndarray:
-    """python ints -> uint32[N, L] 15-bit limbs (Montgomery by default).
+    """python ints -> uint32[L, N] 15-bit limbs (Montgomery by default),
+    limb-major (limb axis leads; elements on the trailing axis).
 
     Vectorized: ints -> fixed-width little-endian bytes -> bit-unpack ->
     15-bit group repack.
@@ -127,22 +128,23 @@ def encode(values, spec: FpSpec, mont: bool = True) -> np.ndarray:
     bits = np.unpackbits(u8, axis=1, bitorder="little")[:, :nbits]
     bits = bits.reshape(n, L, LIMB_BITS).astype(np.uint32)
     weights = (1 << np.arange(LIMB_BITS, dtype=np.uint32))
-    return (bits * weights).sum(axis=2, dtype=np.uint32)
+    return (bits * weights).sum(axis=2, dtype=np.uint32).T.copy()
 
 
 def decode(arr: np.ndarray, spec: FpSpec, mont: bool = True):
-    """uint32[..., L] limbs -> list of python ints (canonical, [0, p)).
+    """uint32[L, *batch] limb-major limbs -> list of python ints
+    (canonical, [0, p)), batch flattened row-major.
 
     Accepts lazy/redundant digit encodings (any u32 digits)."""
     arr = np.asarray(arr, dtype=np.uint64)
-    flat = arr.reshape(-1, arr.shape[-1])
+    flat = arr.reshape(arr.shape[0], -1)
     p = spec.modulus
     rinv = pow(spec.R, p - 2, p) if mont else 1
     out = []
-    for row in flat:
+    for j in range(flat.shape[1]):
         v = 0
-        for i in range(len(row) - 1, -1, -1):
-            v = (v << LIMB_BITS) + int(row[i])
+        for i in range(flat.shape[0] - 1, -1, -1):
+            v = (v << LIMB_BITS) + int(flat[i, j])
         v %= p
         if mont:
             v = v * rinv % p

@@ -36,12 +36,13 @@ def build_window_table(
 
     def wstep(base_w: Point, _):
         reps = tuple(
-            jnp.broadcast_to(x, (B,) + x.shape) for x in base_w
+            jnp.broadcast_to(x[..., None], x.shape + (B,)) for x in base_w
         )
         scan = scan_points(g, reps)  # [B]: 1*b .. B*b
         inf = g.infinity((1,))
         row = tuple(
-            jnp.concatenate([z, s[:-1]], axis=0) for z, s in zip(inf, scan)
+            jnp.concatenate([z, s[..., :-1]], axis=-1)
+            for z, s in zip(inf, scan)
         )
         next_base = g.index(scan, B - 1)  # B * base_w = 2^c * base_w
         return next_base, row
@@ -59,14 +60,14 @@ def batch_mul_device(
 ) -> Point:
     """[s * base for s in scalars] using a prebuilt window table.
 
-    scalars: uint32[N, Ls] standard-form 16-bit limbs.  Returns [N]
-    Jacobian points (convert with g.to_affine for affine queries).
+    scalars: uint32[Ls, N] standard-form 15-bit limbs.  Returns [N]
+    projective points (convert with g.to_affine for affine queries).
     """
     num_windows = table[2].shape[0]
     digits_all = all_window_digits(scalars, c, scalar_bits)
     assert digits_all.shape[0] == num_windows, (
         digits_all.shape, num_windows)
-    n = scalars.shape[0]
+    n = scalars.shape[-1]
 
     def wstep(acc: Point, xs):
         digits_w, row = xs

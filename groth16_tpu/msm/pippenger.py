@@ -8,8 +8,8 @@ loop (windows, scan steps, Horner doublings) is a `lax.scan`/`fori_loop`
 so the traced graph holds O(1) point-adds regardless of N and window
 count.
 
-Per c-bit window w (one `lax.scan` step over a [W, N] digit matrix):
-  1. digit_i = bits [cw, cw+c) of scalar_i (standard-form 16-bit limbs).
+Per c-bit window w:
+  1. digit_i = bits [cw, cw+c) of scalar_i (standard-form 15-bit limbs).
   2. Sort point indices by digit ascending (u32 key sort + one gather).
   3. Two-level suffix scan (msm/scans.py): within-chunk `lax.scan` +
      Hillis-Steele across chunk totals — ~N vectorized point-adds.
@@ -18,6 +18,16 @@ Per c-bit window w (one `lax.scan` step over a [W, N] digit matrix):
      searchsorted(digits, v): a B-point gather, no scatter, no
      per-bucket extraction.
   5. window_sum = reduce(G_1..G_{B-1}); Horner: res = 2^c * res + w_sum.
+
+Windows are processed in GROUPS as an extra batch dimension (sized by an
+HBM budget): one batched sort, one batched gather, and a single K-step
+suffix scan whose rows are [wg, C]-wide point adds cover a whole group.
+Sequential wide-op count per MSM drops from windows*K to
+ceil(windows/wg)*K — per-dispatch fixed cost (large over a device
+tunnel) and XLA glue amortize across the group.
+
+Layout: point coordinate tensors are limb-major with the element axis
+trailing (fields/fp.py); scalars are uint32[Ls, N] standard-form limbs.
 
 The zip-to-shorter-length semantics of arkworks msm_bigint (the h_query
 MSM relies on the trailing scalar being dropped — prover.rs:66 vs
@@ -30,30 +40,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from groth16_tpu.config import CONFIG
 from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.fields.spec import LIMB_BITS
-from groth16_tpu.msm.scans import chunk_scan_parts, reduce_points
+from groth16_tpu.msm.scans import reduce_points
 
 
 def choose_window_bits(n: int, scalar_bits: int) -> int:
-    """Minimize windows*(n + 2*2^c) over c in [4, 16]."""
+    """Minimize windows*(n + KB*2^c) over c in [4, 16].
+
+    KB weights the bucket tail (gather + reduce of B points) against one
+    suffix-scan add; measured ~6x on the fused-kernel path (the tail's
+    narrow reduce levels run below full device width)."""
     best_c, best_cost = 4, None
     for c in range(4, 17):
         windows = -(-scalar_bits // c)
-        cost = windows * (n + 2 * (1 << c))
+        cost = windows * (n + 6 * (1 << c))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
 
 
 def window_digits(scalars: jnp.ndarray, c: int, w: int) -> jnp.ndarray:
-    """Extract bits [c*w, c*w + c) from uint32[N, Ls] 16-bit-limb scalars."""
+    """Extract bits [c*w, c*w + c) from uint32[Ls, N] 15-bit-limb scalars."""
     b0 = c * w
     i0, sh = divmod(b0, LIMB_BITS)
-    Ls = scalars.shape[-1]
-    lo = scalars[..., i0] >> sh if i0 < Ls else jnp.zeros_like(scalars[..., 0])
+    Ls = scalars.shape[0]
+    lo = scalars[i0] >> sh if i0 < Ls else jnp.zeros_like(scalars[0])
     if sh + c > LIMB_BITS and i0 + 1 < Ls:
-        lo = lo | (scalars[..., i0 + 1] << (LIMB_BITS - sh))
+        lo = lo | (scalars[i0 + 1] << (LIMB_BITS - sh))
     return lo & jnp.uint32((1 << c) - 1)
 
 
@@ -81,55 +96,159 @@ def msm_device(
     scalar_bits: int,
     window_bits: int | None = None,
 ) -> Point:
-    """MSM(points, scalars) -> single Jacobian point.
+    """MSM(points, scalars) -> single projective point.
 
-    points: (X, Y, Z) batch of N Jacobian points (affine inputs: Z = 1,
-    infinity entries Z = 0).  scalars: uint32[N, Ls] standard-form 16-bit
-    limbs.  scalar_bits: static bound on scalar bit length.
+    points: (X, Y, Z) batch of N points, element axis trailing (affine
+    inputs: Z = 1, infinity entries Z = 0).  scalars: uint32[Ls, N]
+    standard-form 15-bit limbs.  scalar_bits: static bound on scalar bit
+    length."""
+    out = msm_device_lanes(
+        g,
+        tuple(x[..., None, :] for x in points),
+        scalars[None],
+        scalar_bits,
+        window_bits,
+    )
+    return tuple(x[..., 0] for x in out)
+
+
+def msm_device_lanes(
+    g: CurveDevice,
+    points: Point,
+    scalars: jnp.ndarray,
+    scalar_bits: int,
+    window_bits: int | None = None,
+) -> Point:
+    """`lanes` independent MSMs in one batched pass (the prover's four
+    G1 MSMs — prover.rs:66,74,92,101 — run as one call).
+
+    points: leaves [*coords, lanes, N]; scalars: uint32[lanes, Ls, N].
+    Returns points with batch (lanes,).  Lanes join the window-group
+    batch dimension, so sorts, gathers, suffix scans and bucket reduces
+    are all (lanes x wg)-wide — sequential wide-op count is divided by
+    the lane count on top of the window grouping.
     """
-    n = scalars.shape[0]
-    assert points[2].shape[: points[2].ndim - g.k.coord_ndim] == (n,)
-    c = window_bits or choose_window_bits(n, scalar_bits)
+    lanes, Ls, n = scalars.shape
+    assert g.batch_shape(points) == (lanes, n)
+    c = window_bits or CONFIG.msm_window_bits or choose_window_bits(n, scalar_bits)
     num_windows = -(-scalar_bits // c)
     B = 1 << c
 
     npad = _pad_size(n)
-    digits_all = all_window_digits(scalars, c, scalar_bits)
+    digits_all = jax.vmap(
+        lambda s: all_window_digits(s, c, scalar_bits)
+    )(scalars)  # [lanes, W, n]
     if npad != n:
-        digits_all = jnp.pad(digits_all, ((0, 0), (0, npad - n)))
-        inf = g.infinity((npad - n,))
+        digits_all = jnp.pad(digits_all, ((0, 0), (0, 0), (0, npad - n)))
+        inf = g.infinity((lanes, npad - n))
         points = tuple(
-            jnp.concatenate([p, i], axis=0) for p, i in zip(points, inf)
+            jnp.concatenate([p, i], axis=-1) for p, i in zip(points, inf)
         )
 
-    iota = jnp.arange(npad, dtype=jnp.int32)
-    v_targets = jnp.arange(1, B, dtype=jnp.uint32)
+    # window grouping: wg windows per pass across ALL lanes, sized so the
+    # gathered point copies stay within the HBM budget
+    coord_elems = 1
+    for d in g.k.coord_shape():
+        coord_elems *= d
+    bytes_per_window = lanes * npad * coord_elems * 3 * 4
+    wg = max(
+        1,
+        min(num_windows, CONFIG.msm_group_bytes // max(1, bytes_per_window)),
+    )
+    n_groups = -(-num_windows // wg)
+    w_padded = n_groups * wg
+    if w_padded != num_windows:
+        # pad with zero-digit windows at the HIGH end: Horner doubles and
+        # adds infinity there, leaving the result unchanged
+        digits_all = jnp.pad(
+            digits_all, ((0, 0), (0, w_padded - num_windows), (0, 0))
+        )
+    # [G, lanes, wg, npad] for the lax.scan over groups
+    digits_grouped = jnp.moveaxis(
+        digits_all.reshape(lanes, n_groups, wg, npad), 1, 0
+    )
 
-    def window_sum(digits_w) -> Point:
+    iota_b = jnp.broadcast_to(
+        jnp.arange(npad, dtype=jnp.int32), (lanes, wg, npad)
+    )
+    v_targets = jnp.broadcast_to(
+        jnp.arange(1, B, dtype=jnp.uint32), (lanes * wg, B - 1)
+    )
+    l_iota = jnp.broadcast_to(
+        jnp.arange(lanes, dtype=jnp.int32)[:, None, None], (lanes, wg, B - 1)
+    )
+    w_iota = jnp.broadcast_to(
+        jnp.arange(wg, dtype=jnp.int32)[None, :, None], (lanes, wg, B - 1)
+    )
+    cd = g.k.coord_ndim
+
+    from groth16_tpu.msm.scans import (
+        _pick_chunks,
+        _roll,
+        scan_points,
+        scan_storage,
+    )
+
+    C = _pick_chunks(npad, 4096)  # noqa: shared across groups
+    K = npad // C
+
+    def group_sums(digits_g) -> Point:
+        """[lanes, wg, npad] digits -> per-window sums, batch (lanes, wg)."""
         sorted_digits, order = jax.lax.sort(
-            (digits_w, iota), dimension=0, num_keys=1
+            (digits_g, iota_b), dimension=2, num_keys=1
         )
-        pts = g.index(points, order)
-        within, cross_excl, K = chunk_scan_parts(g, pts, reverse=True)
-        first_ge = jnp.searchsorted(sorted_digits, v_targets, side="left")
+        # compose the step-major storage transpose (sorted position
+        # j = c*K + k stored at k*C + c) into the GATHER indices — the
+        # index array is transposed, never the gathered point data
+        order_t = jnp.swapaxes(
+            order.reshape(lanes, wg, C, K), -1, -2
+        ).reshape(lanes, wg, npad)
+        ob = order_t.reshape((1,) * cd + order_t.shape)
+        pts = tuple(
+            jnp.take_along_axis(x[..., :, None, :], ob, axis=-1)
+            for x in points
+        )  # [*coords, lanes, wg, npad] step-major storage
+        within_t, totals = scan_storage(g, pts, K, C, reverse=True)
+        # suffix scan over chunk totals (1/K of the data): classic path
+        cross_incl = scan_points(g, totals, reverse=True, max_chunks=512)
+        cross_excl = _roll(cross_incl, -1)
+        cmask = jnp.arange(C) < C - 1
+        cross_excl = g.select(cmask, cross_excl, g.infinity((lanes, wg, C)))
+        first_ge = jax.vmap(
+            lambda d, v: jnp.searchsorted(d, v, side="left")
+        )(sorted_digits.reshape(lanes * wg, npad), v_targets)
+        first_ge = first_ge.reshape(lanes, wg, B - 1)
         valid = first_ge < npad
         j = jnp.minimum(first_ge, npad - 1).astype(jnp.int32)
         jk, jc = j % K, j // K
+        flat = jk * C + jc  # step-major storage index of sorted position j
         gv = g.add(
-            tuple(x[jk, jc] for x in within),
-            g.index(cross_excl, jc),
-        )
-        gv = g.select(valid, gv, g.infinity((B - 1,)))
+            tuple(x[..., l_iota, w_iota, flat] for x in within_t),
+            tuple(x[..., l_iota, w_iota, jc] for x in cross_excl),
+        )  # batch (lanes, wg, B-1)
+        gv = g.select(valid, gv, g.infinity((lanes, wg, B - 1)))
         # pad to B (power of two) for the reduction
         gv = tuple(
-            jnp.concatenate([x, i], axis=0)
-            for x, i in zip(gv, g.infinity((1,)))
+            jnp.concatenate([x, i], axis=-1)
+            for x, i in zip(gv, g.infinity((lanes, wg, 1)))
         )
-        return reduce_points(g, gv)
+        return reduce_points(g, gv)  # batch (lanes, wg)
 
-    def wstep(res, digits_w):
+    def gstep(_, digits_g):
+        return None, group_sums(digits_g)
+
+    _, sums_g = jax.lax.scan(gstep, None, digits_grouped)
+    # sums_g leaves: [G, *coords, lanes, wg] -> [*coords, lanes, W] rows
+    # for the Horner combine (window 0 first)
+    sums = tuple(
+        jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-2] + (lanes, w_padded,))
+        for x in sums_g
+    )
+    sums_rows = tuple(jnp.moveaxis(x, -1, 0) for x in sums)  # [W, *coords, lanes]
+
+    def hstep(res, wsum):
         res = jax.lax.fori_loop(0, c, lambda i, p: g.double(p), res)
-        return g.add(res, window_sum(digits_w)), None
+        return g.add(res, wsum), None
 
-    res, _ = jax.lax.scan(wstep, g.infinity(()), digits_all, reverse=True)
+    res, _ = jax.lax.scan(hstep, g.infinity((lanes,)), sums_rows, reverse=True)
     return res

@@ -1,18 +1,21 @@
 """Compile-friendly parallel scans/reductions over point batches.
 
 The naive choice (`jax.lax.associative_scan`) unrolls ~2*log2(N) combiner
-calls into the graph; with a branchless Jacobian add weighing ~10^4
-primitives that explodes compile time.  These helpers keep the traced
-graph at O(1) point-ops by pushing repetition into `lax.scan` /
-`lax.fori_loop`, while keeping total work ~N:
+calls into the graph; with a point add weighing ~10^3 primitives that
+explodes compile time.  These helpers keep the traced graph at O(1)
+point-ops by pushing repetition into `lax.scan` / `lax.fori_loop`, while
+keeping total work ~N:
 
-  - within-chunk pass: reshape [N] -> [K, C] and `lax.scan` along K
-    (K sequential steps, each a C-wide vector add; work N, graph 1 add)
+  - within-chunk pass: view the [N] element axis as [C, K] and `lax.scan`
+    along K (K sequential steps, each a C-wide vector add; work N,
+    graph 1 add)
   - cross-chunk pass: Hillis-Steele over the C chunk totals inside a
     `fori_loop` with traced roll distances (work C*log2(C), graph 1 add)
 
 Chunk count C is capped so the cross pass stays o(N).  All helpers
-operate on (X, Y, Z) point pytrees via a CurveDevice `g`.
+operate on (X, Y, Z) point pytrees via a CurveDevice `g`; per the engine
+convention (fields/fp.py) coordinate axes LEAD and the element axis is
+the TRAILING axis of every leaf.
 """
 
 from __future__ import annotations
@@ -30,20 +33,21 @@ def ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length()) if n > 1 else 0
 
 
-def _roll(pt: Point, shift, axis=0) -> Point:
-    return tuple(jnp.roll(x, shift, axis=axis) for x in pt)
+def _roll(pt: Point, shift) -> Point:
+    return tuple(jnp.roll(x, shift, axis=-1) for x in pt)
 
 
 def hs_scan(g: CurveDevice, pts: Point, reverse: bool = False) -> Point:
-    """Inclusive Hillis-Steele scan over axis 0 of a [C] point batch.
+    """Inclusive Hillis-Steele scan over the element axis of a [C] batch.
 
     Graph: one point-add; work: C * ceil(log2(C)) adds.
     """
-    C = pts[2].shape[0]
+    C = pts[2].shape[-1]
     if C == 1:
         return pts
     steps = ceil_log2(C)
     pos = jnp.arange(C, dtype=jnp.int32)
+    inf = g.infinity(g.batch_shape(pts))
 
     def body(k, buf):
         s = jnp.int32(1) << k
@@ -53,7 +57,7 @@ def hs_scan(g: CurveDevice, pts: Point, reverse: bool = False) -> Point:
         else:
             shifted = _roll(buf, s)
             valid = pos >= s
-        shifted = g.select(valid, shifted, g.infinity((C,)))
+        shifted = g.select(valid, shifted, inf)
         return g.add(buf, shifted)
 
     return jax.lax.fori_loop(0, steps, body, pts)
@@ -68,39 +72,47 @@ def _pick_chunks(N: int, max_chunks: int) -> int:
     return C
 
 
+def _rows(x: jnp.ndarray, C: int, K: int) -> jnp.ndarray:
+    """[.., N] -> [K, .., C]: view the element axis as chunks [C, K]
+    (chunk c = elements [c*K, (c+1)*K)) and move the scan axis first for
+    lax.scan consumption."""
+    return jnp.moveaxis(x.reshape(x.shape[:-1] + (C, K)), -1, 0)
+
+
 def chunk_scan_parts(
     g: CurveDevice, pts: Point, reverse: bool = False, max_chunks: int = 4096
 ) -> Tuple[Point, Point, int]:
-    """Two-level inclusive scan decomposition of a [N] point batch.
+    """Two-level inclusive scan decomposition of an [N] point batch.
 
-    Returns (within [K, C], cross_excl [C], K) with N = K*C such that
-      scan(pts)[j] = within[j % K_pos, j // K] + cross_excl[j // K]
-    where within[k, c] is the inclusive scan restricted to chunk c and
-    cross_excl[c] is the total of all chunks strictly before (after, if
-    reverse) chunk c.  Caller must pad N to a multiple of the chunk size
-    (identity = infinity for sums).
-
-    Layout: element j lives at within[j % K, j // K] — chunks are
-    strided so each scan step is a contiguous C-wide row.
+    Returns (within [.., C, K], cross_excl [.., C], K) with N = K*C such
+    that  scan(pts)[j] = within[.., j // K, j % K] + cross_excl[.., j // K]
+    where within[.., c, k] is the inclusive scan restricted to chunk c and
+    cross_excl[.., c] is the total of all chunks strictly before (after,
+    if reverse) chunk c.  Caller must pad N to a multiple of the chunk
+    size (identity = infinity for sums).
     """
-    N = pts[2].shape[0]
+    N = pts[2].shape[-1]
     C = _pick_chunks(N, max_chunks)
     K = N // C
-    # row-major [K, C]: element j -> (j % K? ) — use j = k*C + c ordering:
-    # chunk c owns elements {c, C + c, 2C + c, ...}?  Simpler: contiguous
-    # chunks along K axis after a transpose-free reshape [C, K] -> move
-    # scan axis first.  We reshape to [C, K] (chunk-major) then scan along
-    # axis-1 via moveaxis -> [K, C].
-    re = tuple(
-        jnp.moveaxis(x.reshape((C, K) + x.shape[1:]), 1, 0) for x in pts
-    )  # [K, C, ...]; chunk c = original slice [c*K, (c+1)*K)
+    lead = g.batch_shape(pts)[:-1]  # extra leading batch dims ride along
+
+    re = tuple(_rows(x, C, K) for x in pts)  # [K, coords.., C]
 
     def step(carry, row):
         acc = g.add(carry, row)
         return acc, acc
 
-    totals, within = jax.lax.scan(step, g.infinity((C,)), re, reverse=reverse)
-    cross_incl = hs_scan(g, totals, reverse=reverse)
+    totals, within = jax.lax.scan(
+        step, g.infinity(lead + (C,)), re, reverse=reverse
+    )
+    within = tuple(jnp.moveaxis(x, 0, -1) for x in within)  # [coords.., C, K]
+    if C > 512:
+        # recurse: a Hillis-Steele over thousands of chunks costs
+        # log2(C) FULL-width steps; a second two-level scan does it in
+        # ~K2 + log2(C2) narrow steps
+        cross_incl = scan_points(g, totals, reverse=reverse, max_chunks=512)
+    else:
+        cross_incl = hs_scan(g, totals, reverse=reverse)
     # exclusive shift
     if reverse:
         cross_excl = _roll(cross_incl, -1)
@@ -108,35 +120,84 @@ def chunk_scan_parts(
     else:
         cross_excl = _roll(cross_incl, 1)
         mask = jnp.arange(C) >= 1
-    cross_excl = g.select(mask, cross_excl, g.infinity((C,)))
+    cross_excl = g.select(mask, cross_excl, g.infinity(lead + (C,)))
     return within, cross_excl, K
 
 
-def scan_points(g: CurveDevice, pts: Point, reverse: bool = False) -> Point:
-    """Full inclusive scan (used by the fixed-base table build)."""
-    N = pts[2].shape[0]
-    within, cross_excl, K = chunk_scan_parts(g, pts, reverse=reverse)
+def scan_points(
+    g: CurveDevice, pts: Point, reverse: bool = False, max_chunks: int = 4096
+) -> Point:
+    """Full inclusive scan (used by the fixed-base table build and as
+    the recursive cross pass of chunk_scan_parts)."""
+    N = pts[2].shape[-1]
+    within, cross_excl, K = chunk_scan_parts(
+        g, pts, reverse=reverse, max_chunks=max_chunks
+    )
     C = N // K
-    out = g.add(within, tuple(jnp.broadcast_to(x, w.shape) for x, w in
-                              zip(cross_excl, within)))
-    # [K, C] with element j at [j % K? ] — invert the packing: chunk c =
-    # original slice [c*K, (c+1)*K), position k within it.
-    return tuple(jnp.moveaxis(x, 0, 1).reshape((N,) + x.shape[2:]) for x in out)
+    out = g.add(within, tuple(x[..., None] for x in cross_excl))
+    # [.., C, K] -> [.., N] with element j = c*K + k
+    return tuple(x.reshape(x.shape[:-2] + (N,)) for x in out)
+
+
+def scan_storage(g: CurveDevice, pts_T: Point, K: int, C: int,
+                 reverse: bool = False):
+    """Within-chunk inclusive scan in STEP-MAJOR storage.
+
+    pts_T leaves: [.., N] with N = K*C where storage index k*C + c holds
+    position k of chunk c (the caller lays data out this way — for the
+    MSM it composes the transpose into the gather indices, so no bulk
+    data transpose ever materializes).  Step k is one CONTIGUOUS C-wide
+    slice; lax.scan's leading-axis requirement (which forces a full-data
+    transpose) is avoided via fori_loop + dynamic slices.
+
+    Returns (within_T [.., N] same storage, chunk totals [.., C]).
+    """
+    lead = g.batch_shape(pts_T)[:-1]
+
+    def body(i, carry):
+        acc, out = carry
+        k = K - 1 - i if reverse else i
+        start = k * C
+        row = tuple(
+            jax.lax.dynamic_slice_in_dim(x, start, C, axis=-1) for x in pts_T
+        )
+        acc = g.add(acc, row)
+        out = tuple(
+            jax.lax.dynamic_update_slice_in_dim(o, a, start, axis=-1)
+            for o, a in zip(out, acc)
+        )
+        return (acc, out)
+
+    init = (
+        g.infinity(lead + (C,)),
+        tuple(jnp.zeros_like(x) for x in pts_T),
+    )
+    acc, out = jax.lax.fori_loop(0, K, body, init)
+    return out, acc
 
 
 def reduce_points(g: CurveDevice, pts: Point) -> Point:
-    """Sum a [N] point batch to a single point.  Graph: 2 point-adds;
-    work: N + 64*log2(64) (the tiny tail reduced by Hillis-Steele)."""
-    N = pts[2].shape[0]
-    C = min(64, N)
+    """Sum an [N] point batch to a single point: K contiguous-slice
+    accumulation steps to C partials, then recurse (tail reduced by
+    Hillis-Steele once small).  Graph: O(1) point-adds per level,
+    <= ~3 levels in practice; no data transposes (addition is
+    commutative, so slice grouping needs no index mapping)."""
+    N = pts[2].shape[-1]
+    if N <= 64:
+        full = hs_scan(g, pts, reverse=True)
+        return g.index(full, 0)
+    # aim for ~8 sequential steps per level, chunks capped at 1024
+    C = min(1024, max(8, N // 8))
     while N % C:
         C -= 1
     K = N // C
-    re = tuple(x.reshape((K, C) + x.shape[1:]) for x in pts)
+    lead = g.batch_shape(pts)[:-1]
 
-    def step(carry, row):
-        return g.add(carry, row), None
+    def body(i, acc):
+        row = tuple(
+            jax.lax.dynamic_slice_in_dim(x, i * C, C, axis=-1) for x in pts
+        )
+        return g.add(acc, row)
 
-    acc, _ = jax.lax.scan(step, g.infinity((C,)), re)
-    full = hs_scan(g, acc, reverse=True)
-    return g.index(full, 0)
+    acc = jax.lax.fori_loop(0, K, body, g.infinity(lead + (C,)))
+    return reduce_points(g, acc)

@@ -7,8 +7,10 @@ H = <w> of size n, coset domains g*H via pre/post scaling, identical output
 ordering ([f(g*w^0), f(g*w^1), ...]) and 1/n normalization.
 
 Design (SURVEY.md §2.4 "ntt_cp"): the coefficient vector lives as
-uint32[..., n, L] limbs (leading batch dims supported — the sharded
-four-step transform in par/ntt_cp.py runs row-batches).  Each butterfly
+uint32[L, ..., n] limb-major limbs (fields/fp.py convention: limb axis
+leads, the element axis trails; extra row-batch dims in between are
+supported — the sharded four-step transform in par/ntt_cp.py runs
+row-batches).  Each butterfly
 stage is one vectorized mont_mul + add/sub on full-width slices inside a
 `lax.fori_loop`, so the whole transform is an O(L)-primitive graph
 executed log2(n) times.  Twiddle and offset power tables are built on
@@ -46,13 +48,13 @@ def powers_device(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
     log-doubling: p_{2k} = p_k * (base^k); log2(n) wide multiplies."""
     assert n & (n - 1) == 0, "power-of-two table"
     p = spec.modulus
-    cur = jnp.asarray(encode([1], spec))  # [1, L]
+    cur = jnp.asarray(encode([1], spec))  # [L, 1]
     length = 1
     b_pow = base % p
     while length < n:
         scale = jnp.asarray(encode([b_pow], spec))
         nxt = fp.mont_mul(spec, cur, scale)
-        cur = jnp.concatenate([cur, nxt], axis=0)
+        cur = jnp.concatenate([cur, nxt], axis=-1)
         b_pow = b_pow * b_pow % p
         length *= 2
     return cur
@@ -62,11 +64,15 @@ def powers_device(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
 def powers(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
     """Cached device-resident power table.
 
-    Built eagerly even when first requested inside a jit trace
+    Built even when first requested inside a jit trace
     (ensure_compile_time_eval), so the cache always holds concrete
-    arrays, never tracers."""
+    arrays, never tracers.  The whole builder runs as ONE jitted
+    zero-arg program: compile-time-eval otherwise executes the doubling
+    loop op-by-op, which is pathological over a high-latency device
+    tunnel."""
     with jax.ensure_compile_time_eval():
-        return jax.block_until_ready(powers_device(spec, base, n))
+        fn = jax.jit(lambda: powers_device(spec, base, n))
+        return jax.block_until_ready(fn())
 
 
 def _bitrev_perm(n: int) -> np.ndarray:
@@ -106,13 +112,14 @@ def _dif_tables(n: int):
 
 
 def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.ndarray:
-    """Radix-2 DIF NTT along axis -2; natural order in and out.
+    """Radix-2 DIF NTT along the trailing element axis; natural order in
+    and out.
 
-    a: uint32[..., n, L]; root_powers: [n, L] table (pass inverse-root
+    a: uint32[L, ..., n]; root_powers: [L, n] table (pass inverse-root
     powers for the inverse transform).  One masked full-width butterfly
     body is compiled and iterated log2(n) times via lax.fori_loop.
     """
-    n = a.shape[-2]
+    n = a.shape[-1]
     log_n = n.bit_length() - 1
     if log_n == 0:
         return a
@@ -123,14 +130,14 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
 
     def stage(s, x):
         # invariant: stage inputs/outputs < 2p, exact digits
-        part = jnp.take(x, partners_d[s], axis=-2)
-        tw = jnp.take(root_powers, twexps_d[s], axis=0)
+        part = jnp.take(x, partners_d[s], axis=-1)
+        tw = jnp.take(root_powers, twexps_d[s], axis=-1)
         sum_ = fp.cond_sub(spec, x + part, spec.two_p_limbs)
         diff = fp.mont_mul(spec, fp.sub(spec, part, x, k=2), tw)
         return fp.select(masks_d[s], sum_, diff)
 
     a = jax.lax.fori_loop(0, log_n, stage, a)
-    return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-2)
+    return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-1)
 
 
 class NttDomain:
@@ -173,11 +180,11 @@ class NttDomain:
     # -- transforms ------------------------------------------------------------
 
     def fft(self, coeffs: jnp.ndarray, offset: int = 1) -> jnp.ndarray:
-        """coefficients -> evaluations on offset*H.  coeffs: uint32[n, L]
+        """coefficients -> evaluations on offset*H.  coeffs: uint32[L, n]
         Montgomery form; shorter inputs must be pre-padded by the caller."""
         spec = self.spec
         a = coeffs
-        assert a.shape[-2] == self.size
+        assert a.shape[-1] == self.size
         if offset != 1:
             a = _jitted_mul(spec)(a, self._offset_powers(offset))
         return _jitted_ntt_core(spec)(a, self._fwd_powers)

@@ -28,10 +28,15 @@ def make_mesh(
     return Mesh(np.array(devs), (axis,))
 
 
-def shard_leading(mesh: Mesh, x, axis: str = DATA_AXIS):
-    """Place an array (or pytree) sharded along its leading axis."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), x)
+def shard_elements(mesh: Mesh, x, axis: str = DATA_AXIS):
+    """Place a limb-major array (or pytree) sharded along its trailing
+    element axis (the fields/fp.py convention: batch axes trail)."""
+
+    def put(a):
+        spec = P(*([None] * (a.ndim - 1) + [axis]))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, x)
 
 
 def replicated(mesh: Mesh, x):

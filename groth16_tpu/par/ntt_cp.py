@@ -34,28 +34,26 @@ from groth16_tpu.par.mesh import DATA_AXIS
 
 
 def _transpose_a2a(x: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """Global [R, C] (R sharded) -> [C, R] (C sharded): all_to_all +
-    local transpose.  x local view: [R/S, C] -> [C/S, R]."""
-    y = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=0, tiled=True)
-    # y: [R, C/S] local; transpose the leading two axes
-    return jnp.swapaxes(y, 0, 1)
+    """Global [L, R, C] (R sharded) -> [L, C, R] (C sharded): all_to_all
+    + local transpose.  x local view: [L, R/S, C] -> [L, C/S, R]."""
+    y = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+    # y: [L, R, C/S] local; transpose the row axes
+    return jnp.swapaxes(y, 1, 2)
 
 
 def _geometric_rows(spec: FpSpec, row_bases: jnp.ndarray, n_cols: int) -> jnp.ndarray:
-    """rows[i, k] = row_bases[i]^k for k < n_cols (Montgomery, on device).
+    """rows[.., i, k] = row_bases[.., i]^k for k < n_cols (Montgomery, on
+    device).  row_bases: [L, rows] -> [L, rows, n_cols].
 
     Log-doubling along the column axis: log2(n_cols) wide multiplies.
     """
     assert n_cols & (n_cols - 1) == 0
-    cur = jnp.broadcast_to(
-        jnp.asarray(encode([spec.r_mod_p], spec, mont=False))[0],
-        row_bases.shape[:-1] + (1, spec.n_limbs),
-    )  # ones, [rows, 1, L]
-    scale = row_bases[..., None, :]  # base^(2^t) per row
+    cur = fp.const(spec, 1, row_bases.shape[1:] + (1,))  # ones [L, rows, 1]
+    scale = row_bases[..., None]  # base^(2^t) per row
     length = 1
     while length < n_cols:
         nxt = fp.mont_mul(spec, cur, scale)
-        cur = jnp.concatenate([cur, nxt], axis=-2)
+        cur = jnp.concatenate([cur, nxt], axis=-1)
         scale = fp.mont_mul(spec, scale, scale)
         length *= 2
     return cur
@@ -64,7 +62,8 @@ def _geometric_rows(spec: FpSpec, row_bases: jnp.ndarray, n_cols: int) -> jnp.nd
 class ShardedNtt:
     """Four-step (i)NTT over `mesh` for one (field, n) domain.
 
-    Data layout: uint32[n, L] Montgomery, sharded along axis 0.  n must
+    Data layout: uint32[L, n] Montgomery (limb-major), sharded along the
+    element axis (axis 1).  n must
     satisfy n = n1 * n2 with S | n1 and S | n2 (S = mesh axis size); the
     default split is n1 = 2^ceil(log/2).
     """
@@ -97,26 +96,26 @@ class ShardedNtt:
         w2_pows = powers(spec, pow(gen, n1, p), n2)
         w_pows = self._w_pows(inverse)  # [n] for the twiddle gather
 
-        def local(x):  # x: [n/S, L] = rows [n1/S, n2]
-            x = x.reshape(n1 // S, n2, spec.n_limbs)
-            x = _transpose_a2a(x, self.axis)  # [n2/S, n1, L]
+        def local(x):  # x: [L, n/S] = rows [L, n1/S, n2]
+            x = x.reshape(spec.n_limbs, n1 // S, n2)
+            x = _transpose_a2a(x, self.axis)  # [L, n2/S, n1]
             x = _ntt_core(spec, x, w1_pows)  # length-n1 NTTs
             # twiddle w^{j2*k1}: row j2 (global), col k1
             me = jax.lax.axis_index(self.axis)
             j2 = me * (n2 // S) + jnp.arange(n2 // S)
-            row_base = jnp.take(w_pows, j2, axis=0)  # w^{j2}
-            tw = _geometric_rows(spec, row_base, n1)  # [n2/S, n1, L]
+            row_base = jnp.take(w_pows, j2, axis=-1)  # w^{j2}, [L, n2/S]
+            tw = _geometric_rows(spec, row_base, n1)  # [L, n2/S, n1]
             x = fp.mont_mul(spec, x, tw)
-            x = _transpose_a2a(x, self.axis)  # [n1/S, n2, L]
+            x = _transpose_a2a(x, self.axis)  # [L, n1/S, n2]
             x = _ntt_core(spec, x, w2_pows)  # length-n2 NTTs
-            x = _transpose_a2a(x, self.axis)  # [n2/S, n1, L] = output rows k2
-            return x.reshape(n1 * n2 // S, spec.n_limbs)
+            x = _transpose_a2a(x, self.axis)  # [L, n2/S, n1] = output rows k2
+            return x.reshape(spec.n_limbs, n1 * n2 // S)
 
         return jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=P(self.axis),
-            out_specs=P(self.axis),
+            in_specs=P(None, self.axis),
+            out_specs=P(None, self.axis),
             check_vma=False,
         )(a)
 
@@ -134,8 +133,8 @@ class ShardedNtt:
         return jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(self.axis), P(self.axis)),
-            out_specs=P(self.axis),
+            in_specs=(P(None, self.axis), P(None, self.axis)),
+            out_specs=P(None, self.axis),
             check_vma=False,
         )(a, base_pows)
 

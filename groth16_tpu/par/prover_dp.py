@@ -27,7 +27,7 @@ from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.curves.params import get_curve
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import encode, make_spec
-from groth16_tpu.msm.pippenger import msm_device
+from groth16_tpu.msm.pippenger import msm_device_lanes
 from groth16_tpu.ntt.ntt import NttDomain
 from groth16_tpu.par.mesh import DATA_AXIS, make_mesh
 from groth16_tpu.par.ntt_cp import ShardedNtt
@@ -43,43 +43,47 @@ from groth16_tpu.r1cs.matrices import ConstraintMatrices
 
 def msm_sharded_lanes(
     g: CurveDevice,
-    points: Point,  # [lanes, N, ...] stacked, sharded on axis 1
-    scalars: jnp.ndarray,  # [lanes, N, Ls]
+    points: Point,  # leaves [*coords, lanes, N], sharded on N
+    scalars: jnp.ndarray,  # [lanes, Ls, N]
     scalar_bits: int,
     mesh,
     axis: str = DATA_AXIS,
     window_bits: int | None = None,
 ) -> Point:
-    """Per-lane MSM over a sharded point axis; returns [lanes] points
-    (replicated).  Local full Pippenger per (lane, shard), then an
-    all_gather of the S partials and a log2(S) halving combine."""
+    """Lane-batched MSM over a sharded point axis; returns points with
+    batch (lanes,) (replicated).  One local lane-batched Pippenger per
+    shard, then an all_gather of the S partials and a log2(S) halving
+    combine."""
     S = mesh.shape[axis]
-    assert scalars.shape[1] % S == 0
+    assert scalars.shape[-1] % S == 0
 
     def local(pts, sc):
-        def lane(_, xs):
-            P_, s_ = xs
-            return None, msm_device(g, P_, s_, scalar_bits, window_bits)
-
-        _, acc = jax.lax.scan(lane, None, (pts, sc))
-        gathered = tuple(
-            jax.lax.all_gather(x, axis, axis=1) for x in acc
-        )  # [lanes, S, ...]
+        acc = msm_device_lanes(g, pts, sc, scalar_bits, window_bits)
+        # combine the S shard partials: gather to a trailing batch axis,
+        # then log2(S) halving adds
+        red = tuple(
+            jax.lax.all_gather(x, axis, axis=x.ndim) for x in acc
+        )  # [*coords, lanes, S]
         m = S
-        red = gathered
         while m > 1:
             h = m // 2
             red = g.add(
-                tuple(x[:, :h] for x in red), tuple(x[:, h:m] for x in red)
+                tuple(x[..., :h] for x in red),
+                tuple(x[..., h:m] for x in red),
             )
             m = h
-        return tuple(x[:, 0] for x in red)
+        return tuple(x[..., 0] for x in red)  # [*coords, lanes]
 
-    lanes_specs = tuple(P(None, axis) for _ in range(3))
+    def leaf_spec(x):
+        return P(*([None] * (x.ndim - 1)), axis)
+
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(lanes_specs, P(None, axis)),
+        in_specs=(
+            tuple(leaf_spec(x) for x in points),
+            leaf_spec(scalars),
+        ),
         out_specs=tuple(P() for _ in range(3)),
         check_vma=False,
     )(points, scalars)
@@ -92,27 +96,29 @@ def witness_map_sharded(
     """Sharded witness map (r1cs_to_qap.rs:172-235): replicated sparse
     matvec, sharded NTT pipeline."""
     n = sntt.domain.size
-    shard = NamedSharding(mesh, P(axis))
+    shard = NamedSharding(mesh, P(None, axis))
 
     def zero_pad(x):
-        if x.shape[0] < n:
+        if x.shape[-1] < n:
             x = jnp.concatenate(
-                [x, fp.zeros(spec, (n - x.shape[0],))], axis=0
+                [x, fp.zeros(spec, (n - x.shape[-1],))], axis=-1
             )
         return jax.lax.with_sharding_constraint(x, shard)
 
     a = sparse_matvec(spec, mats["a"], z_mont)
     b = sparse_matvec(spec, mats["b"], z_mont)
-    a = jnp.concatenate([a[:num_constraints], z_mont[:num_inputs]], axis=0)
+    a = jnp.concatenate(
+        [a[:, :num_constraints], z_mont[:, :num_inputs]], axis=-1
+    )
     a = zero_pad(a)
-    b = zero_pad(b[:num_constraints])
+    b = zero_pad(b[:, :num_constraints])
 
     a = sntt.coset_fft(sntt.ifft(a))
     b = sntt.coset_fft(sntt.ifft(b))
     ab = fp.mont_mul(spec, a, b)
 
     c = sparse_matvec(spec, mats["c"], z_mont)
-    c = zero_pad(c[:num_constraints])
+    c = zero_pad(c[:, :num_constraints])
     c = sntt.coset_fft(sntt.ifft(c))
 
     p = spec.modulus
@@ -173,53 +179,53 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
     )
     h_std = fp.from_mont(fr, h_mont)
     z_std = fp.from_mont(fr, z_mont)
-    rho_std = z_std[1:]
-    aux_std = z_std[num_inputs:]
+    rho_std = z_std[:, 1:]
+    aux_std = z_std[:, num_inputs:]
 
     n_pad = dpk.n_pad
 
     def pad_to(s):
-        return jnp.pad(s, ((0, n_pad - s.shape[0]), (0, 0)))
+        return jnp.pad(s, ((0, 0), (0, n_pad - s.shape[-1])))
 
-    shard2 = NamedSharding(mesh, P(None, axis))
+    shard2 = NamedSharding(mesh, P(None, None, axis))
     scalars4 = jnp.stack(
         [
             pad_to(rho_std),
             pad_to(rho_std),
-            pad_to(h_std[: dpk.n_h]),
-            pad_to(aux_std[: dpk.n_aux]),
+            pad_to(h_std[:, : dpk.n_h]),
+            pad_to(aux_std[:, : dpk.n_aux]),
         ],
         axis=0,
     )
     scalars4 = jax.lax.with_sharding_constraint(scalars4, shard2)
     acc4 = msm_sharded_lanes(g1, dpk.g1_msm_points, scalars4, sbits, mesh, axis)
-    a_acc = tuple(x[0] for x in acc4)
-    b1_acc = tuple(x[1] for x in acc4)
-    h_acc = tuple(x[2] for x in acc4)
-    l_aux_acc = tuple(x[3] for x in acc4)
+    a_acc = tuple(x[..., 0] for x in acc4)
+    b1_acc = tuple(x[..., 1] for x in acc4)
+    h_acc = tuple(x[..., 2] for x in acc4)
+    l_aux_acc = tuple(x[..., 3] for x in acc4)
 
     # G2 MSM: single lane, padded to a shardable length
     S = mesh.shape[axis]
-    n2 = rho_std.shape[0]
+    n2 = rho_std.shape[-1]
     n2_pad = -(-n2 // S) * S
     g2_pts = dpk.b_g2_tail
     if n2_pad != n2:
         inf = g2.infinity((n2_pad - n2,))
         g2_pts = tuple(
-            jnp.concatenate([a, b], axis=0) for a, b in zip(g2_pts, inf)
+            jnp.concatenate([a, b], axis=-1) for a, b in zip(g2_pts, inf)
         )
-    sc2 = jnp.pad(rho_std, ((0, n2_pad - n2), (0, 0)))
+    sc2 = jnp.pad(rho_std, ((0, 0), (0, n2_pad - n2)))
     b2_acc_l = msm_sharded_lanes(
         g2,
-        tuple(x[None] for x in g2_pts),
+        tuple(x[..., None, :] for x in g2_pts),
         sc2[None],
         sbits,
         mesh,
         axis,
     )
-    b2_acc = tuple(x[0] for x in b2_acc_l)
+    b2_acc = tuple(x[..., 0] for x in b2_acc_l)
 
-    delta3 = tuple(jnp.stack([x, x, x], axis=0) for x in dpk.delta_g1)
+    delta3 = tuple(jnp.stack([x, x, x], axis=-1) for x in dpk.delta_g1)
     bits3 = jnp.stack([r_bits, s_bits, rs_bits], axis=0)
     rsd = g1.scalar_mul_bits(delta3, bits3)
     r_delta, s_delta, rs_delta = (g1.index(rsd, i) for i in range(3))
@@ -234,7 +240,7 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
     s_delta_g2 = g2.scalar_mul_bits(dpk.delta_g2, s_bits)
     g2_b = g2.add(g2.add(g2.add(s_delta_g2, dpk.b20), b2_acc), dpk.beta_g2)
 
-    ab = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g1_b))
+    ab = tuple(jnp.stack([x, y], axis=-1) for x, y in zip(g_a, g1_b))
     bits2 = jnp.stack([s_bits, r_bits], axis=0)
     sab = g1.scalar_mul_bits(ab, bits2)
     s_g_a = g1.index(sab, 0)
@@ -245,8 +251,8 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
     g_c = g1.add(g_c, l_aux_acc)
     g_c = g1.add(g_c, h_acc)
 
-    ac = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g_c))
+    ac = tuple(jnp.stack([x, y], axis=-1) for x, y in zip(g_a, g_c))
     ax, ay, ainf = g1.to_affine(ac)
-    b_batch = tuple(x[None] for x in g2_b)
+    b_batch = tuple(x[..., None] for x in g2_b)
     bx, by, binf = g2.to_affine(b_batch)
     return (ax, ay, ainf, bx, by, binf)

@@ -34,7 +34,7 @@ from groth16_tpu.r1cs.matrices import ConstraintMatrices
 @dataclasses.dataclass
 class DeviceProvingKey:
     # device arrays (leaves)
-    g1_msm_points: Any  # stacked G1 Point batch [4, N_pad]
+    g1_msm_points: Any  # G1 Point leaves [L, 4, N_pad] (lane batch dim)
     b_g2_tail: Any  # G2 Point batch [nv-1]
     a0: Any  # single G1: a_query[0]
     b10: Any  # single G1: b_g1_query[0]
@@ -89,11 +89,11 @@ class DeviceProvingKey:
 
 
 def _pad_points(pt, n_pad, g):
-    n = pt[2].shape[0]
+    n = pt[2].shape[-1]
     if n == n_pad:
         return pt
     inf = g.infinity((n_pad - n,))
-    return tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(pt, inf))
+    return tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(pt, inf))
 
 
 def upload_proving_key(
@@ -109,10 +109,10 @@ def upload_proving_key(
     g2 = codec.g2_ops(c)
 
     def single_g1(p):
-        return tuple(a[0] for a in codec.g1_to_device(c, [p]))
+        return tuple(a[..., 0] for a in codec.g1_to_device(c, [p]))
 
     def single_g2(p):
-        return tuple(a[0] for a in codec.g2_to_device(c, [p]))
+        return tuple(a[..., 0] for a in codec.g2_to_device(c, [p]))
 
     n_h = len(pk.h_query)
     n_aux = len(pk.l_query)
@@ -126,8 +126,10 @@ def upload_proving_key(
         _pad_points(codec.g1_to_device(c, pk.h_query), n_pad, g1),
         _pad_points(codec.g1_to_device(c, pk.l_query), n_pad, g1),
     ]
+    # lanes stacked just before the element axis: [*coords, 4, N] — the
+    # layout msm_device_lanes consumes
     stacked = tuple(
-        jnp.stack([lane[i] for lane in lanes], axis=0) for i in range(3)
+        jnp.stack([lane[i] for lane in lanes], axis=-2) for i in range(3)
     )
 
     return DeviceProvingKey(

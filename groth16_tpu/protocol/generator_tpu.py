@@ -46,7 +46,7 @@ class _DeviceBatchMul:
         self.c = _window_bits(max(n_hint, 1))
         self.num_windows = -(-bits // self.c)
         base = to_device([base_affine])
-        base_single = tuple(a[0] for a in base)
+        base_single = tuple(a[..., 0] for a in base)
         self.table = jax.jit(
             lambda b: build_window_table(self.g, b, self.c, self.num_windows),
         )(base_single)

@@ -27,7 +27,7 @@ from groth16_tpu.curves import codec
 from groth16_tpu.curves.params import get_curve
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import decode, encode, make_spec
-from groth16_tpu.msm.pippenger import msm_device
+from groth16_tpu.msm.pippenger import msm_device, msm_device_lanes
 from groth16_tpu.protocol.data_structures import Proof, ProvingKey
 from groth16_tpu.protocol.device_keys import DeviceProvingKey, upload_proving_key
 from groth16_tpu.qap.device import witness_map_device
@@ -43,10 +43,10 @@ def scalar_bits_array(v: int, nbits: int) -> jnp.ndarray:
 
 
 def _pad_scalars(s: jnp.ndarray, n_pad: int) -> jnp.ndarray:
-    n = s.shape[0]
+    n = s.shape[-1]
     if n == n_pad:
         return s
-    return jnp.pad(s, ((0, n_pad - n), (0, 0)))
+    return jnp.pad(s, ((0, 0), (0, n_pad - n)))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -59,15 +59,15 @@ def _witness_jit(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
     )
     h_std = fp.from_mont(fr, h_mont)
     z_std = fp.from_mont(fr, z_mont)
-    rho_std = z_std[1:]
-    aux_std = z_std[dpk.num_inputs :]
+    rho_std = z_std[:, 1:]
+    aux_std = z_std[:, dpk.num_inputs :]
     n_pad = dpk.n_pad
     scalars4 = jnp.stack(
         [
             _pad_scalars(rho_std, n_pad),
             _pad_scalars(rho_std, n_pad),
-            _pad_scalars(h_std[: dpk.n_h], n_pad),
-            _pad_scalars(aux_std[: dpk.n_aux], n_pad),
+            _pad_scalars(h_std[:, : dpk.n_h], n_pad),
+            _pad_scalars(aux_std[:, : dpk.n_aux], n_pad),
         ],
         axis=0,
     )
@@ -76,21 +76,14 @@ def _witness_jit(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _msm_g1_jit(curve: str, dpk: DeviceProvingKey, scalars4: jnp.ndarray):
-    """Phase 2a: one vmapped G1 MSM over 4 lanes: a_query[1:],
-    b_g1_query[1:], h_query (zip-truncated to n-1), l_query
-    (prover.rs:63-113)."""
+    """Phase 2a: ONE lane-batched G1 MSM over the 4 query lanes:
+    a_query[1:], b_g1_query[1:], h_query (zip-truncated to n-1), l_query
+    (prover.rs:63-113).  Lanes ride the window-group batch dimension, so
+    the whole G1 phase is a single sequence of wide device ops."""
     c = get_curve(curve)
     g1 = codec.g1_ops(c)
     sbits = c.r.bit_length()
-
-    # lanes run SEQUENTIALLY via lax.scan: each lane then executes at full
-    # device width (measured ~30% faster than vmapping the four lanes)
-    def lane(_, xs):
-        P, s = xs
-        return None, msm_device(g1, P, s, sbits)
-
-    _, acc4 = jax.lax.scan(lane, None, (dpk.g1_msm_points, scalars4))
-    return acc4
+    return msm_device_lanes(g1, dpk.g1_msm_points, scalars4, sbits)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -115,13 +108,13 @@ def _assembly_jit(
     c = get_curve(curve)
     g1 = codec.g1_ops(c)
     g2 = codec.g2_ops(c)
-    a_acc = tuple(x[0] for x in acc4)
-    b1_acc = tuple(x[1] for x in acc4)
-    h_acc = tuple(x[2] for x in acc4)
-    l_aux_acc = tuple(x[3] for x in acc4)
+    a_acc = tuple(x[..., 0] for x in acc4)
+    b1_acc = tuple(x[..., 1] for x in acc4)
+    h_acc = tuple(x[..., 2] for x in acc4)
+    l_aux_acc = tuple(x[..., 3] for x in acc4)
 
     # batched O(1) scalar muls: [r, s, rs] * delta_g1
-    delta3 = tuple(jnp.stack([x, x, x], axis=0) for x in dpk.delta_g1)
+    delta3 = tuple(jnp.stack([x, x, x], axis=-1) for x in dpk.delta_g1)
     bits3 = jnp.stack([r_bits, s_bits, rs_bits], axis=0)
     rsd = g1.scalar_mul_bits(delta3, bits3)
     r_delta = g1.index(rsd, 0)
@@ -141,7 +134,7 @@ def _assembly_jit(
     g2_b = g2.add(g2.add(g2.add(s_delta_g2, dpk.b20), b2_acc), dpk.beta_g2)
 
     # s*A and r*B1, batched
-    ab = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g1_b))
+    ab = tuple(jnp.stack([x, y], axis=-1) for x, y in zip(g_a, g1_b))
     bits2 = jnp.stack([s_bits, r_bits], axis=0)
     sab = g1.scalar_mul_bits(ab, bits2)
     s_g_a = g1.index(sab, 0)
@@ -155,22 +148,42 @@ def _assembly_jit(
     g_c = g1.add(g_c, h_acc)
 
     # batched to_affine: A and C share one G1 batch inversion
-    ac = tuple(jnp.stack([x, y], axis=0) for x, y in zip(g_a, g_c))
+    ac = tuple(jnp.stack([x, y], axis=-1) for x, y in zip(g_a, g_c))
     ax, ay, ainf = g1.to_affine(ac)
-    b_batch = tuple(x[None] for x in g2_b)
+    b_batch = tuple(x[..., None] for x in g2_b)
     bx, by, binf = g2.to_affine(b_batch)
     return (ax, ay, ainf, bx, by, binf)
 
 
-def _prove_phases(curve, dpk, z_mont, r_bits, s_bits, rs_bits):
+def _prove_phases(curve, dpk, z_mont, r_bits, s_bits, rs_bits, timer=None):
     """The full prove as three device programs (witness map | MSMs |
     assembly).  Split keeps each compiled program within backend
     program-size limits at large N and gives per-phase profiling; all
-    intermediates stay on device."""
-    scalars4, rho_std = _witness_jit(curve, dpk, z_mont)
-    acc4 = _msm_g1_jit(curve, dpk, scalars4)
-    b2_acc = _msm_g2_jit(curve, dpk, rho_std)
-    return _assembly_jit(curve, dpk, acc4, b2_acc, r_bits, s_bits, rs_bits)
+    intermediates stay on device.
+
+    timer: optional utils.profiling.PhaseTimer — when given, each phase
+    is blocked on and timed (the ark_std start_timer!/end_timer! analog,
+    prover.rs:35-125)."""
+    if timer is None:
+        scalars4, rho_std = _witness_jit(curve, dpk, z_mont)
+        acc4 = _msm_g1_jit(curve, dpk, scalars4)
+        b2_acc = _msm_g2_jit(curve, dpk, rho_std)
+        return _assembly_jit(curve, dpk, acc4, b2_acc, r_bits, s_bits, rs_bits)
+    import jax as _jax
+
+    with timer.phase("witness_map"):
+        scalars4, rho_std = _jax.block_until_ready(
+            _witness_jit(curve, dpk, z_mont)
+        )
+    with timer.phase("msm_g1_x4"):
+        acc4 = _jax.block_until_ready(_msm_g1_jit(curve, dpk, scalars4))
+    with timer.phase("msm_g2"):
+        b2_acc = _jax.block_until_ready(_msm_g2_jit(curve, dpk, rho_std))
+    with timer.phase("assembly"):
+        out = _jax.block_until_ready(
+            _assembly_jit(curve, dpk, acc4, b2_acc, r_bits, s_bits, rs_bits)
+        )
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -240,15 +253,16 @@ class TpuProver:
     def encode_assignment(self, full_assignment: List[int]) -> jnp.ndarray:
         return jnp.asarray(encode(list(full_assignment), self.fr))
 
-    def prove(self, full_assignment: List[int], r: int, s: int) -> Proof:
+    def prove(self, full_assignment: List[int], r: int, s: int,
+              timer=None) -> Proof:
         rr = self.c.r
         r %= rr
         s %= rr
         z = self.encode_assignment(full_assignment)
-        out = self.prove_encoded(z, r, s)
+        out = self.prove_encoded(z, r, s, timer=timer)
         return decode_proof_arrays(self.curve, out)
 
-    def prove_encoded(self, z_mont: jnp.ndarray, r: int, s: int):
+    def prove_encoded(self, z_mont: jnp.ndarray, r: int, s: int, timer=None):
         rr = self.c.r
         nbits = rr.bit_length()
         return _prove_phases(
@@ -258,6 +272,7 @@ class TpuProver:
             scalar_bits_array(r, nbits),
             scalar_bits_array(s, nbits),
             scalar_bits_array(r * s % rr, nbits),
+            timer=timer,
         )
 
     def prove_batch(self, assignments, rs, ss) -> List[Proof]:
@@ -289,8 +304,9 @@ def decode_proof_arrays(curve: str, out) -> Proof:
     infs = np.asarray(ainf)
     a_pt = None if infs[0] else (xs[0], ys[0])
     c_pt = None if infs[1] else (xs[1], ys[1])
-    bx_v = decode(np.asarray(bx).reshape(2, -1), spec)
-    by_v = decode(np.asarray(by).reshape(2, -1), spec)
+    # bx/by: [L, 2, 1] -> flatten batch (2, 1) row-major = (c0, c1)
+    bx_v = decode(np.asarray(bx), spec)
+    by_v = decode(np.asarray(by), spec)
     b_pt = (
         None
         if np.asarray(binf)[0]

@@ -33,10 +33,10 @@ from groth16_tpu.r1cs.matrices import ConstraintMatrices, FlatMatrix
 class DeviceMatrix:
     """One flattened constraint matrix, device-resident.
 
-    coeffs: uint32[nnz, L] Montgomery; cols: int32[nnz]; seg_start:
-    bool[nnz] (True at each row's first entry); end_idx: int32[num_rows]
-    (index of each row's last entry, 0 for empty rows); nonempty:
-    bool[num_rows].
+    coeffs: uint32[L, nnz] Montgomery (limb-major); cols: int32[nnz];
+    seg_start: bool[nnz] (True at each row's first entry); end_idx:
+    int32[num_rows] (index of each row's last entry, 0 for empty rows);
+    nonempty: bool[num_rows].
     """
 
     coeffs: jnp.ndarray
@@ -91,8 +91,8 @@ def encode_matrices(matrices: ConstraintMatrices, fr: FpSpec):
 
 
 def sparse_matvec(spec: FpSpec, dm: DeviceMatrix, z: jnp.ndarray) -> jnp.ndarray:
-    """rows_i = <matrix_i, z> mod p -> uint32[num_rows, L] Montgomery."""
-    vals = fp.mont_mul(spec, dm.coeffs, z[dm.cols])
+    """rows_i = <matrix_i, z> mod p -> uint32[L, num_rows] Montgomery."""
+    vals = fp.mont_mul(spec, dm.coeffs, z[:, dm.cols])
 
     def combine(a, b):
         fa, va = a
@@ -100,8 +100,13 @@ def sparse_matvec(spec: FpSpec, dm: DeviceMatrix, z: jnp.ndarray) -> jnp.ndarray
         v = fp.select(fb, vb, fp.add_strict(spec, va, vb))
         return jnp.logical_or(fa, fb), v
 
-    _, scanned = jax.lax.associative_scan(combine, (dm.seg_start, vals), axis=0)
-    sums = scanned[dm.end_idx]
+    # element axis is trailing: scan flags as a [1, nnz] row so both
+    # leaves share a positive scan axis
+    flags, scanned = jax.lax.associative_scan(
+        combine, (dm.seg_start[None], vals), axis=1
+    )
+    del flags
+    sums = scanned[:, dm.end_idx]
     return fp.select(dm.nonempty, sums, fp.zeros(spec, (dm.num_rows,)))
 
 
@@ -109,24 +114,26 @@ def witness_map_device(
     spec: FpSpec,
     domain: NttDomain,
     mats,  # dict a/b/c -> DeviceMatrix
-    z_mont: jnp.ndarray,  # uint32[nv, L] Montgomery full assignment
+    z_mont: jnp.ndarray,  # uint32[L, nv] Montgomery full assignment
     num_inputs: int,
     num_constraints: int,
 ) -> jnp.ndarray:
-    """-> h coefficients, uint32[n, L] Montgomery (r1cs_to_qap.rs:172-235)."""
+    """-> h coefficients, uint32[L, n] Montgomery (r1cs_to_qap.rs:172-235)."""
     n = domain.size
     zero_pad = lambda x: jnp.concatenate(
-        [x, fp.zeros(spec, (n - x.shape[0],))], axis=0
-    ) if x.shape[0] < n else x
+        [x, fp.zeros(spec, (n - x.shape[-1],))], axis=-1
+    ) if x.shape[-1] < n else x
 
     a = sparse_matvec(spec, mats["a"], z_mont)
     b = sparse_matvec(spec, mats["b"], z_mont)
     # input-consistency splice (r1cs_to_qap.rs:195-199): rows
     # [num_constraints, num_constraints + num_inputs) of a get the public
     # inputs; b stays zero there.
-    a = jnp.concatenate([a[:num_constraints], z_mont[:num_inputs]], axis=0)
+    a = jnp.concatenate(
+        [a[:, :num_constraints], z_mont[:, :num_inputs]], axis=-1
+    )
     a = zero_pad(a)
-    b = zero_pad(b[:num_constraints])
+    b = zero_pad(b[:, :num_constraints])
 
     a = domain.ifft(a)
     b = domain.ifft(b)
@@ -135,7 +142,7 @@ def witness_map_device(
     ab = fp.mont_mul(spec, a, b)
 
     c = sparse_matvec(spec, mats["c"], z_mont)
-    c = zero_pad(c[:num_constraints])
+    c = zero_pad(c[:, :num_constraints])
     c = domain.ifft(c)
     c = domain.coset_fft(c)
 

@@ -109,7 +109,7 @@ class DummyCircuit:
         p = cs.modulus
         a = cs.new_witness_variable(None if self.a is None else (lambda: self.a))
         b = cs.new_witness_variable(None if self.b is None else (lambda: self.b))
-        cs.new_input_variable(
+        c = cs.new_input_variable(
             None if self.a is None else (lambda: self.a * self.b % p)
         )
         for _ in range(self.num_variables - 3):
@@ -118,16 +118,9 @@ class DummyCircuit:
             cs.enforce_constraint(
                 LinearCombination.from_var(a),
                 LinearCombination.from_var(b),
-                LinearCombination.from_var(Variable_c(cs)),
+                LinearCombination.from_var(c),
             )
         # final constraint: 0 * 0 = 0 (bench.rs:60-62 enforces with zero lc)
         cs.enforce_constraint(
             LinearCombination.zero(), LinearCombination.zero(), LinearCombination.zero()
         )
-
-
-def Variable_c(cs: ConstraintSystem):
-    # the public input variable is always instance index 1
-    from groth16_tpu.r1cs.system import Variable
-
-    return Variable(Variable.INSTANCE, 1)

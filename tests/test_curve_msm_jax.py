@@ -132,7 +132,7 @@ def test_fixed_base_batch_mul_vs_exact(env):
     cbits = 8
     num_windows = -(-c.r.bit_length() // cbits)
     B = codec.g1_to_device(c, [base])
-    base_single = tuple(a[0] for a in B)
+    base_single = tuple(a[..., 0] for a in B)
     table = jax.jit(
         lambda b: build_window_table(g, b, cbits, num_windows)
     )(base_single)
@@ -146,3 +146,47 @@ def test_fixed_base_batch_mul_vs_exact(env):
     )
     expect = [ref.g1_mul(base, s) for s in scalars]
     assert got == expect
+
+
+def test_g1_add_fused_batch_vs_exact(env):
+    """Batch >= the Pallas threshold: exercises the fused RCB kernel on
+    TPU (XLA path on CPU); values must match the exact engine and digits
+    must match the XLA path."""
+    c, ref = env
+    g = codec.g1_ops(c)
+    r = random.Random(31)
+    base = ref.g1_sample(5)
+    n = 512
+    pts = [ref.g1_mul(base, r.randrange(1, c.r)) for _ in range(n)]
+    qts = [ref.g1_mul(base, r.randrange(1, c.r)) for _ in range(n)]
+    pts[7] = None
+    qts[9] = None
+    qts[11] = pts[11]
+    qts[12] = ref.g1_neg(pts[12])
+    A = codec.g1_to_device(c, pts)
+    B = codec.g1_to_device(c, qts)
+    out = jax.jit(g.add)(A, B)
+    got = codec.g1_from_device(c, g, out)
+    assert got == [ref.g1_add(x, y) for x, y in zip(pts, qts)]
+    from groth16_tpu.config import configure
+
+    with configure(use_pallas="off"):
+        xla = jax.jit(g.add)(A, B)
+    for a, b in zip(out, xla):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_g2_add_fused_batch_vs_exact(env):
+    c, ref = env
+    g = codec.g2_ops(c)
+    r = random.Random(33)
+    base = ref.g2_sample(1)
+    n = 256
+    pts = [ref.g2_mul(base, r.randrange(1, c.r)) for _ in range(n)]
+    qts = [ref.g2_mul(base, r.randrange(1, c.r)) for _ in range(n)]
+    pts[3] = None
+    qts[5] = pts[5]
+    A = codec.g2_to_device(c, pts)
+    B = codec.g2_to_device(c, qts)
+    got = codec.g2_from_device(c, g, jax.jit(g.add)(A, B))
+    assert got == [ref.g2_add(x, y) for x, y in zip(pts, qts)]

@@ -81,3 +81,25 @@ def test_pow_inv_misc(modulus):
     assert decode(np.asarray(fp.to_mont(s, std)), s) == vals
     assert decode(np.asarray(fp.const(s, 7, (3,))), s) == [7, 7, 7]
     assert decode(np.asarray(fp.neg(s, a)), s) == [(-x) % modulus for x in vals]
+
+
+@pytest.mark.parametrize("modulus", FIELDS[:2])
+def test_mont_mul_large_batch_pallas_path(modulus):
+    """n=512 crosses the Pallas dispatch threshold on TPU (XLA path on
+    CPU) — either way the values must match Python ints."""
+    s = make_spec(modulus)
+    n = 512
+    vals_a = _rand_vals(modulus, n, 5)
+    vals_b = _rand_vals(modulus, n, 6)
+    a = jnp.asarray(encode(vals_a, s))
+    b = jnp.asarray(encode(vals_b, s))
+    mulf = jit_with_static(fp.mont_mul, s)
+    got = decode(np.asarray(mulf(a, b)), s)
+    assert got == [x * y % modulus for x, y in zip(vals_a, vals_b)]
+    # digit-level agreement between the Pallas and XLA realizations
+    from groth16_tpu.config import configure
+
+    with configure(use_pallas="off"):
+        xla = mulf(a, b)
+    again = mulf(a, b)
+    assert (np.asarray(again) == np.asarray(xla)).all()

@@ -31,7 +31,7 @@ def mesh():
 
 def test_sharded_ntt_matches_single(mesh):
     from groth16_tpu.ntt.ntt import NttDomain
-    from groth16_tpu.par.mesh import shard_leading
+    from groth16_tpu.par.mesh import shard_elements
     from groth16_tpu.par.ntt_cp import ShardedNtt
 
     c = get_curve(CURVE)
@@ -41,7 +41,7 @@ def test_sharded_ntt_matches_single(mesh):
     rng = random.Random(4)
     coeffs = [rng.randrange(c.r) for _ in range(n)]
     a = jnp.asarray(encode(coeffs, d.spec))
-    a_sh = shard_leading(mesh, a)
+    a_sh = shard_elements(mesh, a)
 
     for fn_s, fn_1 in [
         (sntt.fft, d.fft),
@@ -56,7 +56,6 @@ def test_sharded_ntt_matches_single(mesh):
 
 def test_sharded_msm_matches_exact(mesh):
     from groth16_tpu.curves import codec
-    from groth16_tpu.par.mesh import shard_leading
     from groth16_tpu.par.prover_dp import msm_sharded_lanes
     from groth16_tpu.ref.curve import RefGroups
     from groth16_tpu.ref.group import FpCtx, JacobianOps
@@ -71,7 +70,7 @@ def test_sharded_msm_matches_exact(mesh):
     pts = [ref.g1_mul(base, rng.randrange(1, c.r)) for _ in range(n)]
     scalars = [rng.randrange(c.r) for _ in range(n)]
     P1 = codec.g1_to_device(c, pts)
-    pts2 = tuple(jnp.stack([x, x], axis=0) for x in P1)  # 2 lanes
+    pts2 = tuple(jnp.stack([x, x], axis=-2) for x in P1)  # 2 lanes
     S = codec.scalars_to_device(scalars, fr)
     S2 = jnp.stack([S, S], axis=0)
     acc = msm_sharded_lanes(g, pts2, S2, c.r.bit_length(), mesh)
