@@ -21,12 +21,21 @@ from groth16_tpu.fields.spec import FpSpec, encode, decode, make_spec
 
 
 def g1_ops(c: CurveParams) -> CurveDevice:
+    assert c.a == 0, (
+        "device point kernels use a=0 complete formulas; "
+        f"{c.name} (a={c.a}) proves on the exact engine"
+    )
     return CurveDevice(
         FpOps(make_spec(c.p, name=f"{c.name}.Fq")), b3=3 * c.b % c.p
     )
 
 
 def g2_ops(c: CurveParams) -> CurveDevice:
+    if c.g2_over_base:
+        # bw6-family: G2 over Fq itself — the same Fp point kernel as G1
+        return CurveDevice(
+            FpOps(make_spec(c.p, name=f"{c.name}.Fq")), b3=3 * c.b2 % c.p
+        )
     b2_0, b2_1 = c.b2
     return CurveDevice(
         Fp2Ops(make_spec(c.p, name=f"{c.name}.Fq"), c.fp2_nonresidue),
@@ -55,7 +64,11 @@ def g1_to_device(c: CurveParams, pts: Sequence[Optional[Tuple[int, int]]]) -> Po
 
 
 def g2_to_device(c: CurveParams, pts) -> Point:
-    """Affine G2 points ((c0,c1),(c0,c1)) -> Jacobian device batch."""
+    """Affine G2 points ((c0,c1),(c0,c1)) -> projective device batch.
+    For bw6-family curves G2 points are plain Fq pairs (same layout as
+    G1)."""
+    if c.g2_over_base:
+        return g1_to_device(c, pts)
     spec = make_spec(c.p, name=f"{c.name}.Fq")
 
     def enc2(vals):  # list of (c0, c1) -> [L, 2, N]
@@ -91,6 +104,8 @@ def g1_from_device(c: CurveParams, g: CurveDevice, pt: Point):
 
 
 def g2_from_device(c: CurveParams, g: CurveDevice, pt: Point):
+    if c.g2_over_base:
+        return g1_from_device(c, g, pt)
     spec = g.k.spec
     single = pt[2].ndim == g.k.coord_ndim
     if single:

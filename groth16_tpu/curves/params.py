@@ -74,16 +74,24 @@ class CurveParams:
     """Everything needed to run Groth16 over one pairing-friendly curve."""
 
     name: str
-    family: str  # "bls12" | "bn"
+    family: str  # "bls12" | "bn" | "bw6" | "mnt4" | "mnt6"
     x_seed: int  # signed seed
     p: int  # base field modulus
     r: int  # scalar field modulus (group order)
     b: int  # G1: y^2 = x^3 + b
-    fp2_nonresidue: int  # u^2 = fp2_nonresidue  (mod p)
+    fp2_nonresidue: int  # u^2 = fp2_nonresidue  (mod p); for bw6: the
+    # CUBIC/sextic tower nonresidue (Fq3 = Fq[u]/(u^3 - nr), v^2 = u)
     xi: Fp2  # sextic non-residue in Fp2; Fp6 = Fp2[v]/(v^3 - xi)
     twist_type: str  # "M": b2 = b*xi, "D": b2 = b/xi
     fq_generator: int
     fr_generator: int
+    # bw6 family only: CM trace t and y (4q = t^2 + 3y^2), from which G1
+    # and sextic-twist G2 orders derive; both are validated numerically
+    # at build time
+    bw6_t: Optional[int] = None
+    bw6_y: Optional[int] = None
+    # MNT families: nonzero short-Weierstrass a-coefficient
+    a: int = 0
     # derived:
     trace: int = dataclasses.field(init=False)
     h1: int = dataclasses.field(init=False)  # G1 cofactor
@@ -99,6 +107,12 @@ class CurveParams:
             t = x + 1
         elif self.family == "bn":
             t = 6 * x * x + 1
+        elif self.family == "bw6":
+            self._post_init_bw6()
+            return
+        elif self.family in ("mnt4", "mnt6"):
+            self._post_init_mnt()
+            return
         else:
             raise ValueError(self.family)
         object.__setattr__(self, "trace", t)
@@ -144,6 +158,93 @@ class CurveParams:
 
         object.__setattr__(self, "fr", FieldParams(f"{self.name}.Fr", r, self.fr_generator))
         object.__setattr__(self, "fq", FieldParams(f"{self.name}.Fq", p, self.fq_generator))
+
+    def _post_init_bw6(self):
+        """BW6 family (embedding degree 6; G2 is over Fq itself).
+
+        4q = t^2 + 3y^2 (CM discriminant -3); G1: y^2 = x^3 + b has order
+        q + 1 - t; G2 = the M-sextic twist y^2 = x^3 + b*nr with order
+        q + 1 - (t + 3y)/2.  All divisibility and annihilation properties
+        are validated here (see tests/test_bw6_params.py for the full
+        re-derivation of q from the Cocks-Pinch construction over the
+        inner curve's base field)."""
+        p, r, t, y = self.p, self.r, self.bw6_t, self.bw6_y
+        assert 4 * p == t * t + 3 * y * y, "CM equation"
+        object.__setattr__(self, "trace", t)
+        n1 = p + 1 - t
+        assert n1 % r == 0, f"{self.name}: r must divide #E(Fq)"
+        object.__setattr__(self, "h1", n1 // r)
+        nr = self.fp2_nonresidue % p
+        b2 = self.b * nr % p  # M-twist by the sextic nonresidue
+        object.__setattr__(self, "b2", b2)
+        n2 = p + 1 - (t + 3 * y) // 2
+        assert (t + 3 * y) % 2 == 0 and n2 % r == 0
+        # empirical annihilation checks for both orders
+        from groth16_tpu.ref import curve as refcurve
+
+        pt1 = refcurve.sample_point_fp(p, self.b % p, seed=7)
+        assert refcurve.mul_fp(p, pt1, n1) is None, "G1 order"
+        pt2 = refcurve.sample_point_fp(p, b2, seed=9)
+        assert refcurve.mul_fp(p, pt2, n2) is None, "G2 twist order"
+        object.__setattr__(self, "n2", n2)
+        object.__setattr__(self, "h2", n2 // r)
+        object.__setattr__(self, "fr", FieldParams(f"{self.name}.Fr", r, self.fr_generator))
+        object.__setattr__(self, "fq", FieldParams(f"{self.name}.Fq", p, self.fq_generator))
+
+    def _post_init_mnt(self):
+        """MNT4 (k=4, quadratic twist over Fp2) / MNT6 (k=6, quadratic
+        twist over Fp3).  The two 298-bit instantiations form the
+        classic 2-cycle: mnt4.Fq = mnt6.Fr and mnt4.Fr = mnt6.Fq.
+
+        G2 lives on the quadratic twist of E base-changed to the half
+        extension Kh (Fp2 for mnt4, Fp3 for mnt6); with the full tower
+        Kh[v]/(v^2 - u),  E' : y^2 = x^3 + a*u^2 x + b*u^3, of order
+        |E(Kh)| twisted:  q_h + 1 + t_h  (t_h the power trace).  All
+        orders are validated by annihilation at build."""
+        from groth16_tpu.ref import curve as refcurve
+        from groth16_tpu.ref import field as reffield
+
+        p, r = self.p, self.r
+        t = p + 1 - r * 1  # MNT curves have prime order: #E(Fp) = r
+        object.__setattr__(self, "trace", t)
+        object.__setattr__(self, "h1", 1)
+        assert p + 1 - t == r
+        pt1 = refcurve.sample_point_fp(p, self.b % p, seed=3, A=self.a % p)
+        assert refcurve.mul_fp(p, pt1, r, A=self.a % p) is None, "G1 order"
+
+        nr = self.fp2_nonresidue % p
+        if self.family == "mnt4":
+            kh = reffield.Fp2Ctx(p, nr)
+            # u^2 = nr is a SCALAR here, so a*u^2 stays in Fp
+            a2 = (self.a * nr % p, 0)
+            b2 = (0, self.b * nr % p)  # b * u^3 = b*nr*u
+            t2 = t * t - 2 * p
+            n2 = p * p + 1 + t2  # quadratic twist: trace flips sign
+        else:  # mnt6
+            kh = reffield.Fp3Ctx(p, nr)
+            a2 = (0, 0, self.a % p)  # a * u^2
+            b2 = (self.b * nr % p, 0, 0)  # b * u^3 = b*nr
+            t3 = t**3 - 3 * p * t
+            n2 = p**3 + 1 + t3
+        assert n2 % r == 0, f"{self.name}: r must divide twist order"
+        pt2 = refcurve.sample_point_fp2(kh, b2, seed=5, A2=a2)
+        assert refcurve.mul_fp2(kh, b2, pt2, n2, A2=a2) is None, "G2 order"
+        object.__setattr__(self, "a2", a2)
+        object.__setattr__(self, "b2", b2)
+        object.__setattr__(self, "n2", n2)
+        object.__setattr__(self, "h2", n2 // r)
+        object.__setattr__(self, "fr", FieldParams(f"{self.name}.Fr", r, self.fr_generator))
+        object.__setattr__(self, "fq", FieldParams(f"{self.name}.Fq", p, self.fq_generator))
+
+    @property
+    def g2_over_base(self) -> bool:
+        """True when G2 lives over Fq itself (degree-6 BW6 curves)."""
+        return self.family == "bw6"
+
+    @property
+    def g2_field_degree(self) -> int:
+        """Extension degree of the field G2 coordinates live in."""
+        return {"bls12": 2, "bn": 2, "bw6": 1, "mnt4": 2, "mnt6": 3}[self.family]
 
     # ---- pairing machinery constants (computed lazily) ----
 
@@ -252,9 +353,94 @@ def get_curve(name: str) -> CurveParams:
             fp2_nonresidue=-1, xi=(9, 1), twist_type="D",
             fq_gen=3, fr_gen=5,
         )
+    elif name == "bw6_761":
+        c = _bw6_761()
+    elif name in ("mnt4_298", "mnt6_298"):
+        c = _mnt298(name)
     else:
         raise KeyError(f"unknown curve {name}")
     return c
 
 
-CURVES = ("bls12_377", "bls12_381", "bn254")
+def _bw6_761() -> CurveParams:
+    """BW6-761 (Housni-Guillevic): the outer curve of the BLS12-377
+    one-layer composition — its SCALAR field is BLS12-377's BASE field,
+    so BLS12-377 proofs verify natively in BW6-761 circuits
+    (/root/reference/src/test.rs:135-149 instantiates it).
+
+    q, t, y are the unique solution of the Cocks-Pinch k=6 / D=-3
+    construction over r = p_{BLS12-377} with lift (ht, hy) = (13, 9):
+    t = t0 + 13 r, y = y0 + 9 r where t0 = (3 - s)/2 mod r,
+    y0 = (t0 - 2)/(-s) mod r, s^2 = -3 mod r; q = (t^2 + 3 y^2)/4.
+    The search over |ht|,|hy| <= 30 and all root/sign choices yields
+    EXACTLY ONE 761-bit prime (tests/test_bw6_params.py re-derives it),
+    and every structural property (orders, nonresidues) is asserted at
+    build time."""
+    q = int(
+        "0x122e824fb83ce0ad187c94004faff3eb926186a81d14688528275ef8087be4"
+        "1707ba638e584e91903cebaff25b423048689c8ed12f9fd9071dcd3dc73ebff2"
+        "e98a116c25667a8f8160cf8aeeaf0a437e6913e6870000082f49d00000000008b",
+        16,
+    )
+    t = int(
+        "0x15d8f58f3501dbec1ab2f9cb6145aeecb55fc0d440cb48f058490fb4098694"
+        "0170b5d44300000007467a800000000010",
+        16,
+    )
+    y = int(
+        "0xf200c76d5ed9840fb4f18c5c607e562b66d395f6f661e41588824c567582c0"
+        "0e671a4a9e0000004d9a700000000000a",
+        16,
+    )
+    inner = get_curve("bls12_377")
+    return CurveParams(
+        name="bw6_761", family="bw6", x_seed=inner.x_seed, p=q, r=inner.p,
+        b=-1,
+        fp2_nonresidue=-4,  # sextic tower: Fq3 = Fq[u]/(u^3 + 4), v^2 = u
+        xi=(0, 0), twist_type="M",
+        fq_generator=2, fr_generator=15,  # validated QNRs (FieldParams)
+        bw6_t=t, bw6_y=y,
+    )
+
+
+def _mnt298(name: str) -> CurveParams:
+    """The MNT4-298 / MNT6-298 curve cycle (k=4 / k=6; SCIPR Lab's
+    libff instantiation, consumed by the reference gadget test,
+    /root/reference/src/constraints.rs:452-589 and benches/bench.rs:154).
+
+    Field structure is fully self-validating: r4 = l^2 + 1 and
+    p4 = l^2 + l + 1 for the integer l below (the MNT4 family
+    polynomials), with the cycle p6 = r4, r6 = p4; embedding degrees
+    (4 and 6 exactly) and curve/twist orders are asserted at build.
+    Curve coefficients are libff's published constants, validated by
+    order-annihilation (a wrong b cannot put random points in an
+    order-r curve)."""
+    l = 689871209842287392837045615510547309923794944
+    r4 = l * l + 1
+    p4 = l * l + l + 1
+    b4 = 423894536526684178289416011533888240029318103673896002803341544124054745019340795360841685
+    b6 = 106700080510851735677967319632585352256454251201367587890185989362936000262606668469523074
+    if name == "mnt4_298":
+        return CurveParams(
+            name="mnt4_298", family="mnt4", x_seed=l, p=p4, r=r4,
+            a=2, b=b4,
+            fp2_nonresidue=17, xi=(0, 0), twist_type="M",
+            fq_generator=_smallest_qnr(p4), fr_generator=_smallest_qnr(r4),
+        )
+    return CurveParams(
+        name="mnt6_298", family="mnt6", x_seed=l, p=r4, r=p4,
+        a=11, b=b6,
+        fp2_nonresidue=5, xi=(0, 0), twist_type="M",
+        fq_generator=_smallest_qnr(r4), fr_generator=_smallest_qnr(p4),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _smallest_qnr(p: int) -> int:
+    g = 2
+    while pow(g, (p - 1) // 2, p) != p - 1:
+        g += 1
+    return g
+
+
+CURVES = ("bls12_377", "bls12_381", "bn254", "bw6_761", "mnt4_298", "mnt6_298")

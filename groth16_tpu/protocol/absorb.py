@@ -35,6 +35,8 @@ def _g1_elements(pt) -> List[int]:
 def _g2_elements(pt) -> List[int]:
     if pt is None:
         return [0, 0, 0, 0]
+    if isinstance(pt[0], int):  # bw6-family: G2 coordinates are plain Fq
+        return [pt[0], pt[1]]
     (x0, x1), (y0, y1) = pt
     return [x0, x1, y0, y1]
 

@@ -18,7 +18,6 @@ from groth16_tpu.qap.reduction import LibsnarkReduction
 from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisError, SynthesisMode
 from groth16_tpu.ref.curve import RefGroups
 from groth16_tpu.ref.domain import RefDomain
-from groth16_tpu.ref.field import Fp2Ctx
 from groth16_tpu.ref.group import FpCtx, JacobianOps
 from groth16_tpu.utils.rng import Rng
 
@@ -94,8 +93,10 @@ def generate_parameters_with_qap(
     h_scalars = qap.h_query_scalars(m_raw - 1, t, zt, delta_inv, fr)
 
     # Fixed-base batch muls (generator.rs:129-183).
-    g1_ops = JacobianOps(FpCtx(c.p))
-    g2_ops = JacobianOps(Fp2Ctx(c.p, c.fp2_nonresidue))
+    from groth16_tpu.ref.group import g1_jacobian, g2_jacobian
+
+    g1_ops = g1_jacobian(c)
+    g2_ops = g2_jacobian(c)
     bits = r.bit_length()
 
     b_g2_query = g2_ops.batch_mul(g2_generator, b, bits)

@@ -22,14 +22,15 @@ from groth16_tpu.protocol.data_structures import Proof, ProvingKey, VerifyingKey
 from groth16_tpu.qap.reduction import LibsnarkReduction
 from groth16_tpu.r1cs.matrices import ConstraintMatrices
 from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisMode
-from groth16_tpu.ref.field import Fp2Ctx
 from groth16_tpu.ref.group import FpCtx, JacobianOps
 from groth16_tpu.utils.rng import Rng
 
 
 def _ops(curve: str):
     c = get_curve(curve)
-    return JacobianOps(FpCtx(c.p)), JacobianOps(Fp2Ctx(c.p, c.fp2_nonresidue))
+    from groth16_tpu.ref.group import g1_jacobian, g2_jacobian
+
+    return g1_jacobian(c), g2_jacobian(c)
 
 
 def _calculate_coeff(ops: JacobianOps, initial, query, vk_param, assignment: List[int]):

@@ -304,12 +304,13 @@ def decode_proof_arrays(curve: str, out) -> Proof:
     infs = np.asarray(ainf)
     a_pt = None if infs[0] else (xs[0], ys[0])
     c_pt = None if infs[1] else (xs[1], ys[1])
-    # bx/by: [L, 2, 1] -> flatten batch (2, 1) row-major = (c0, c1)
+    # bx/by: [L, 2, 1] (Fp2 G2) or [L, 1] (bw6 G2 over Fq)
     bx_v = decode(np.asarray(bx), spec)
     by_v = decode(np.asarray(by), spec)
-    b_pt = (
-        None
-        if np.asarray(binf)[0]
-        else ((bx_v[0], bx_v[1]), (by_v[0], by_v[1]))
-    )
+    if np.asarray(binf)[0]:
+        b_pt = None
+    elif c.g2_over_base:
+        b_pt = (bx_v[0], by_v[0])
+    else:
+        b_pt = ((bx_v[0], bx_v[1]), (by_v[0], by_v[1]))
     return Proof(curve=curve, a=a_pt, b=b_pt, c=c_pt)

@@ -16,16 +16,17 @@ from groth16_tpu.protocol.data_structures import (
     VerifyingKey,
 )
 from groth16_tpu.r1cs.system import SynthesisError
-from groth16_tpu.ref.field import Fp2Ctx
 from groth16_tpu.ref.group import FpCtx, JacobianOps
-from groth16_tpu.ref.pairing import RefPairing
+from groth16_tpu.ref.pairing import make_pairing
 
 
 def prepare_verifying_key(vk: VerifyingKey) -> PreparedVerifyingKey:
     """verifier.rs:13-20."""
-    pairing = RefPairing(vk.curve)
+    pairing = make_pairing(vk.curve)
     c = get_curve(vk.curve)
-    g2 = JacobianOps(Fp2Ctx(c.p, c.fp2_nonresidue))
+    from groth16_tpu.ref.group import g2_jacobian
+
+    g2 = g2_jacobian(c)
     return PreparedVerifyingKey(
         vk=vk,
         alpha_g1_beta_g2=pairing.pairing(vk.alpha_g1, vk.beta_g2),
@@ -39,7 +40,9 @@ def prepare_inputs(pvk: PreparedVerifyingKey, public_inputs: List[int]):
     if len(public_inputs) + 1 != len(pvk.vk.gamma_abc_g1):
         raise SynthesisError(SynthesisError.Kind.MALFORMED_VERIFYING_KEY)
     c = get_curve(pvk.vk.curve)
-    g1 = JacobianOps(FpCtx(c.p))
+    from groth16_tpu.ref.group import g1_jacobian
+
+    g1 = g1_jacobian(c)
     acc = g1.from_affine(pvk.vk.gamma_abc_g1[0])
     for x, base in zip(public_inputs, pvk.vk.gamma_abc_g1[1:]):
         acc = g1.add(acc, g1.scalar_mul(g1.from_affine(base), x % c.r))
@@ -50,7 +53,7 @@ def verify_proof_with_prepared_inputs(
     pvk: PreparedVerifyingKey, proof: Proof, prepared_inputs
 ) -> bool:
     """verifier.rs:44-65."""
-    pairing = RefPairing(pvk.vk.curve)
+    pairing = make_pairing(pvk.vk.curve)
     qap = pairing.multi_miller_loop(
         [proof.a, prepared_inputs, proof.c],
         [proof.b, pvk.gamma_g2_neg, pvk.delta_g2_neg],

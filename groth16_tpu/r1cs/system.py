@@ -9,9 +9,11 @@ sparse constraint matrices (r1cs_to_qap.rs:83,132).
 
 Variable/column layout matches the reference exactly
 (r1cs_to_qap.rs:90-94): column 0 is the constant ONE, columns
-1..num_instance are public inputs, then witnesses.  LCs are kept inlined
-(the reference's `finalize()` LC-inlining pass, generator.rs:73, is a no-op
-here because this frontend never allocates symbolic LCs).
+1..num_instance are public inputs, then witnesses.  Symbolic linear
+combinations (`new_lc`, ark-relations' `new_lc`/`Variable::SymbolicLc`)
+are supported; `finalize()` resolves them per the optimization goal —
+inlining for `Constraints` (the Groth16 setting, generator.rs:64+73,
+prover.rs:197) or outlining into fresh witnesses for `Weight`.
 """
 
 from __future__ import annotations
@@ -38,6 +40,14 @@ class SynthesisMode(enum.Enum):
     PROVE = "prove"
 
 
+class OptimizationGoal(enum.Enum):
+    """ark-relations OptimizationGoal (generator.rs:64 sets Constraints)."""
+
+    NONE = "none"
+    CONSTRAINTS = "constraints"  # inline symbolic LCs
+    WEIGHT = "weight"  # outline symbolic LCs into fresh witnesses
+
+
 class Variable:
     """A handle into the assignment vector."""
 
@@ -46,13 +56,14 @@ class Variable:
     ONE_KIND = 0
     INSTANCE = 1
     WITNESS = 2
+    SYMBOLIC_LC = 3
 
     def __init__(self, kind: int, index: int):
         self.kind = kind
         self.index = index
 
     def __repr__(self):
-        return f"Var({('one','x','w')[self.kind]}{self.index})"
+        return f"Var({('one','x','w','lc')[self.kind]}{self.index})"
 
     def __hash__(self):
         return hash((self.kind, self.index))
@@ -126,12 +137,23 @@ class ConstraintSystem:
     def __init__(self, modulus: int, mode: SynthesisMode = SynthesisMode.PROVE):
         self.modulus = modulus
         self.mode = mode
+        self.optimization_goal = OptimizationGoal.CONSTRAINTS
         # instance_assignment[0] == 1 (r1cs_to_qap.rs:90-94)
         self.instance_assignment: List[int] = [1]
         self.witness_assignment: List[int] = []
         self.a_rows: List[List[Tuple[int, int]]] = []  # (coeff, column)
         self.b_rows: List[List[Tuple[int, int]]] = []
         self.c_rows: List[List[Tuple[int, int]]] = []
+        self.lc_map: List[List[Tuple[int, Variable]]] = []  # symbolic LCs
+        self._finalized = False
+
+    def set_optimization_goal(self, goal: OptimizationGoal) -> None:
+        """Must be called before any symbolic LC is resolved
+        (generator.rs:64)."""
+        self.optimization_goal = goal
+
+    def set_mode(self, mode: SynthesisMode) -> None:
+        self.mode = mode
 
     # -- allocation ---------------------------------------------------------
 
@@ -148,6 +170,12 @@ class ConstraintSystem:
     def new_witness_variable(self, f: Optional[Callable[[], int]] = None) -> Variable:
         idx = self._alloc_witness(f)
         return Variable(Variable.WITNESS, idx)
+
+    def new_lc(self, comb) -> Variable:
+        """Allocate a symbolic linear combination and return its handle
+        (ark-relations `new_lc`); resolved by `finalize()`."""
+        self.lc_map.append(self._lc_to_row(comb))
+        return Variable(Variable.SYMBOLIC_LC, len(self.lc_map) - 1)
 
     def _value(self, f) -> int:
         if self.mode == SynthesisMode.SETUP:
@@ -177,6 +205,7 @@ class ConstraintSystem:
             return 0
         if v.kind == Variable.INSTANCE:
             return v.index
+        assert v.kind == Variable.WITNESS, "symbolic LC survived finalize()"
         return len(self.instance_assignment) + v.index
 
     def _lc_to_row(self, comb) -> List[Tuple[int, Variable]]:
@@ -214,11 +243,99 @@ class ConstraintSystem:
 
     def full_assignment(self) -> List[int]:
         """[1, instance..., witness...] (r1cs_to_qap.rs:90-94)."""
+        self.finalize()
         return list(self.instance_assignment) + list(self.witness_assignment)
+
+    # -- symbolic-LC resolution (generator.rs:73, prover.rs:197) -------------
+
+    def _resolved_lcs(self) -> List[List[Tuple[int, Variable]]]:
+        """Each symbolic LC expanded to ONE/instance/witness terms only.
+        Handles can only reference earlier handles, so one forward pass
+        suffices."""
+        p = self.modulus
+        resolved: List[Dict[Variable, int]] = []
+        for row in self.lc_map:
+            terms: Dict[Variable, int] = {}
+            for coeff, v in row:
+                if v.kind == Variable.SYMBOLIC_LC:
+                    for vv, cc in resolved[v.index].items():
+                        terms[vv] = (terms.get(vv, 0) + coeff * cc) % p
+                else:
+                    terms[v] = (terms.get(v, 0) + coeff) % p
+            resolved.append(terms)
+        return [
+            [(c, v) for v, c in t.items() if c % p] for t in resolved
+        ]
+
+    def _lc_value(self, row) -> int:
+        p = self.modulus
+        acc = 0
+        for c, v in row:
+            if v.kind == Variable.ONE_KIND:
+                acc += c
+            elif v.kind == Variable.INSTANCE:
+                acc += c * self.instance_assignment[v.index]
+            else:
+                acc += c * self.witness_assignment[v.index]
+        return acc % p
+
+    def finalize(self) -> None:
+        """Resolve symbolic LCs: inline them into constraint rows
+        (OptimizationGoal.CONSTRAINTS — the Groth16 path) or outline each
+        into a fresh witness plus one defining constraint (WEIGHT).
+        Idempotent; called automatically by to_matrices()/is_satisfied().
+        """
+        if self._finalized:
+            return
+        self._finalized = True
+        if not self.lc_map:
+            return
+        resolved = self._resolved_lcs()
+        if self.optimization_goal == OptimizationGoal.WEIGHT:
+            # one fresh witness + defining constraint per symbolic LC
+            substitution: Dict[int, Variable] = {}
+            for i, row in enumerate(resolved):
+                if self.mode == SynthesisMode.PROVE:
+                    val = self._lc_value(row)
+                    w = self.new_witness_variable(lambda v=val: v)
+                else:
+                    w = self.new_witness_variable(lambda: 0)
+                substitution[i] = w
+                self.a_rows.append(list(row))
+                self.b_rows.append([(1, ONE)])
+                self.c_rows.append([(1, w)])
+
+            def subst(row):
+                return [
+                    (c, substitution[v.index] if v.kind == Variable.SYMBOLIC_LC else v)
+                    for c, v in row
+                ]
+
+            sub_rows = subst
+        else:
+
+            def inline(row):
+                p = self.modulus
+                terms: Dict[Variable, int] = {}
+                for c, v in row:
+                    if v.kind == Variable.SYMBOLIC_LC:
+                        for cc, vv in resolved[v.index]:
+                            terms[vv] = (terms.get(vv, 0) + c * cc) % p
+                    else:
+                        terms[v] = (terms.get(v, 0) + c) % p
+                return [(c, v) for v, c in terms.items() if c % p]
+
+            sub_rows = inline
+        for rows in (self.a_rows, self.b_rows, self.c_rows):
+            for i, row in enumerate(rows):
+                if any(v.kind == Variable.SYMBOLIC_LC for _, v in row):
+                    rows[i] = sub_rows(row)
+        self.lc_map = []
 
     def to_matrices(self):
         from groth16_tpu.r1cs.matrices import ConstraintMatrices
 
+        self.finalize()
         return ConstraintMatrices(
             num_instance_variables=len(self.instance_assignment),
             num_witness_variables=len(self.witness_assignment),
@@ -229,6 +346,7 @@ class ConstraintSystem:
         )
 
     def is_satisfied(self) -> bool:
+        self.finalize()
         z = self.full_assignment()
         p = self.modulus
 

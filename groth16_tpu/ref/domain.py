@@ -1,11 +1,15 @@
-"""Radix-2 evaluation domain (reference engine, exact ints).
+"""Radix-2 and mixed-radix evaluation domains (reference engine, exact ints).
 
 Implements the `ark-poly` domain behavior consumed by the reference
-(SURVEY.md §2.2 row "Radix-2 NTT"): construction rounding up to a power of
-two, forward/inverse NTT, coset domains via an offset, the vanishing
-polynomial Z(x) = x^n - 1, Lagrange-coefficient evaluation, and
-out-of-domain sampling (call sites: /root/reference/src/r1cs_to_qap.rs:133-141,
-201-234; src/generator.rs:88-90).
+(SURVEY.md §2.2 row "Radix-2 / mixed-radix NTT"): construction rounding
+up to a power of two when the field's 2-adicity allows, otherwise to the
+smallest 2^a*3^b*5^c*7^d smooth size dividing p-1 (the
+GeneralEvaluationDomain -> MixedRadixEvaluationDomain fallback that the
+MNT6 benches rely on, benches/bench.rs:154-155); forward/inverse NTT,
+coset domains via an offset, the vanishing polynomial Z(x) = x^n - 1,
+Lagrange-coefficient evaluation, and out-of-domain sampling (call sites:
+/root/reference/src/r1cs_to_qap.rs:133-141, 201-234;
+src/generator.rs:88-90).
 
 Domain element order is [g*w^0, g*w^1, ..., g*w^{n-1}] (offset g = 1 for the
 plain domain); fft maps coefficients -> evaluations in that order, matching
@@ -19,6 +23,21 @@ from typing import List, Optional
 from groth16_tpu.curves.params import FieldParams
 
 
+def _smooth_sizes(p_minus_1: int, two_adicity: int):
+    """All 2^a*3^b*5^c*7^d divisors of p-1 (a <= two_adicity), sorted."""
+    parts = {2: two_adicity}
+    for q in (3, 5, 7):
+        v, m = 0, p_minus_1
+        while m % q == 0:
+            m //= q
+            v += 1
+        parts[q] = v
+    sizes = [1]
+    for q, vmax in parts.items():
+        sizes = [s * q**e for s in sizes for e in range(vmax + 1)]
+    return sorted(set(sizes))
+
+
 class RefDomain:
     def __init__(self, field: FieldParams, num_coeffs: int, offset: int = 1):
         n = 1
@@ -26,20 +45,34 @@ class RefDomain:
         while n < num_coeffs:
             n <<= 1
             log_n += 1
-        if log_n > field.two_adicity:
-            raise ValueError("PolynomialDegreeTooLarge")
         self.field = field
         self.p = field.modulus
-        self.size = n
-        self.log_size = log_n
-        # group_gen = 2-adic root ^ (2^(s - log_n))
-        self.group_gen = pow(
-            field.two_adic_root_of_unity, 1 << (field.two_adicity - log_n), self.p
-        )
+        if log_n <= field.two_adicity:
+            self.size = n
+            self.log_size = log_n
+            # group_gen = 2-adic root ^ (2^(s - log_n))
+            self.group_gen = pow(
+                field.two_adic_root_of_unity,
+                1 << (field.two_adicity - log_n),
+                self.p,
+            )
+        else:
+            # mixed-radix fallback: smallest smooth size >= num_coeffs
+            cands = [
+                m
+                for m in _smooth_sizes(self.p - 1, field.two_adicity)
+                if m >= num_coeffs
+            ]
+            if not cands:
+                raise ValueError("PolynomialDegreeTooLarge")
+            m = cands[0]
+            self.size = m
+            self.log_size = m.bit_length() - 1  # informational only
+            self.group_gen = _element_of_order(self.p, m)
         self.group_gen_inv = pow(self.group_gen, self.p - 2, self.p)
         self.offset = offset % self.p
         self.offset_inv = pow(self.offset, self.p - 2, self.p)
-        self.size_inv = pow(n, self.p - 2, self.p)
+        self.size_inv = pow(self.size, self.p - 2, self.p)
 
     def get_coset(self, offset: int) -> "RefDomain":
         d = RefDomain.__new__(RefDomain)
@@ -58,33 +91,17 @@ class RefDomain:
     # -- NTT ----------------------------------------------------------------
 
     def _fft_core(self, vals: List[int], root: int) -> List[int]:
-        """In-order iterative radix-2 NTT (exact)."""
+        """Recursive mixed-radix Cooley-Tukey NTT (exact).  Reduces to
+        the classic radix-2 transform — and identical outputs, since any
+        correct algorithm computes the same DFT — on power-of-two sizes.
+        """
         p, n = self.p, self.size
         a = [v % p for v in vals]
         assert len(a) == n
-        # bit-reverse permutation
-        j = 0
+        ws = [1] * n
         for i in range(1, n):
-            bit = n >> 1
-            while j & bit:
-                j ^= bit
-                bit >>= 1
-            j |= bit
-            if i < j:
-                a[i], a[j] = a[j], a[i]
-        length = 2
-        while length <= n:
-            wlen = pow(root, n // length, p)
-            for start in range(0, n, length):
-                w = 1
-                half = length // 2
-                for k in range(start, start + half):
-                    u, v = a[k], a[k + half] * w % p
-                    a[k] = (u + v) % p
-                    a[k + half] = (u - v) % p
-                    w = w * wlen % p
-            length <<= 1
-        return a
+            ws[i] = ws[i - 1] * root % p
+        return _ct_ntt(a, ws, 1, p)
 
     def fft(self, coeffs: List[int]) -> List[int]:
         """coefficients -> evaluations on [offset * w^i]."""
@@ -157,6 +174,44 @@ class RefDomain:
         while self.evaluate_vanishing_polynomial(t) == 0:
             t = rng.field_element(self.p)
         return t
+
+
+def _element_of_order(p: int, m: int) -> int:
+    """Deterministically find an element of EXACT multiplicative order m
+    (m | p-1): h = x^((p-1)/m) for successive x until every maximal
+    proper power is nontrivial."""
+    assert (p - 1) % m == 0
+    primes = [q for q in (2, 3, 5, 7) if m % q == 0]
+    x = 2
+    while True:
+        h = pow(x, (p - 1) // m, p)
+        if h != 1 and all(pow(h, m // q, p) != 1 for q in primes):
+            return h
+        x += 1
+
+
+def _ct_ntt(a: List[int], ws: List[int], stride: int, p: int) -> List[int]:
+    """DFT of `a` where the needed twiddles are ws[stride * t]:
+    out[k] = sum_j ws[stride*j*k mod n'] a[j].  Recursive Cooley-Tukey
+    splitting off the smallest prime factor each level."""
+    n = len(a)
+    if n == 1:
+        return a
+    for q in (2, 3, 5, 7):
+        if n % q == 0:
+            break
+    else:
+        raise ValueError(f"non-smooth NTT size {n}")
+    m = n // q
+    subs = [_ct_ntt(a[i::q], ws, stride * q, p) for i in range(q)]
+    nfull = len(ws)
+    out = [0] * n
+    for k in range(n):
+        acc = 0
+        for i in range(q):
+            acc += ws[stride * i * k % nfull] * subs[i][k % m]
+        out[k] = acc % p
+    return out
 
 
 def _batch_inv(vals: List[int], p: int) -> List[int]:

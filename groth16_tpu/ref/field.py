@@ -120,6 +120,10 @@ class Fp2Ctx:
     def conj(self, a: Fp2El) -> Fp2El:
         return (a[0], (-a[1]) % self.p)
 
+    def mul_by_u(self, a: Fp2El) -> Fp2El:
+        """a * u  (u^2 = nr)."""
+        return (self.nr * a[1] % self.p, a[0])
+
     def norm(self, a: Fp2El) -> int:
         p = self.p
         return (a[0] * a[0] - self.nr * a[1] * a[1]) % p
@@ -356,3 +360,187 @@ def towers(curve_name: str):
     k6 = Fp6Ctx(k2, c.xi)
     k12 = Fp12Ctx(k6)
     return k2, k6, k12
+
+
+# ---------------------------------------------------------------------------
+# Direct-sextic tower for BW6-style curves (embedding degree 6):
+# Fp3 = Fp[u]/(u^3 - nr), Fp6 = Fp3[v]/(v^2 - u).
+# Reference consumption: ark-bw6-761's Fq3/Fq6 configs via the Pairing
+# trait (/root/reference/src/test.rs:135-149 instantiates BW6-761).
+# ---------------------------------------------------------------------------
+
+Fp3El = Tuple[int, int, int]
+Fp6D3El = Tuple[Fp3El, Fp3El]
+
+
+class Fp3Ctx:
+    """Arithmetic in Fp[u]/(u^3 - nr)."""
+
+    def __init__(self, p: int, nonresidue: int):
+        self.p = p
+        self.nr = nonresidue % p
+
+    def zero(self) -> Fp3El:
+        return (0, 0, 0)
+
+    def one(self) -> Fp3El:
+        return (1, 0, 0)
+
+    def add(self, a: Fp3El, b: Fp3El) -> Fp3El:
+        p = self.p
+        return ((a[0] + b[0]) % p, (a[1] + b[1]) % p, (a[2] + b[2]) % p)
+
+    def sub(self, a: Fp3El, b: Fp3El) -> Fp3El:
+        p = self.p
+        return ((a[0] - b[0]) % p, (a[1] - b[1]) % p, (a[2] - b[2]) % p)
+
+    def neg(self, a: Fp3El) -> Fp3El:
+        p = self.p
+        return ((-a[0]) % p, (-a[1]) % p, (-a[2]) % p)
+
+    def mul(self, a: Fp3El, b: Fp3El) -> Fp3El:
+        p, nr = self.p, self.nr
+        c0 = (a[0] * b[0] + nr * (a[1] * b[2] + a[2] * b[1])) % p
+        c1 = (a[0] * b[1] + a[1] * b[0] + nr * a[2] * b[2]) % p
+        c2 = (a[0] * b[2] + a[1] * b[1] + a[2] * b[0]) % p
+        return (c0, c1, c2)
+
+    def sqr(self, a: Fp3El) -> Fp3El:
+        return self.mul(a, a)
+
+    def mul_fp(self, a: Fp3El, k: int) -> Fp3El:
+        p = self.p
+        return (a[0] * k % p, a[1] * k % p, a[2] * k % p)
+
+    def mul_by_u(self, a: Fp3El) -> Fp3El:
+        """a * u  (u^3 = nr)."""
+        p = self.p
+        return (self.nr * a[2] % p, a[0], a[1])
+
+    def inv(self, a: Fp3El) -> Fp3El:
+        p, nr = self.p, self.nr
+        a0, a1, a2 = a
+        t0 = (a0 * a0 - nr * a1 * a2) % p
+        t1 = (nr * a2 * a2 - a0 * a1) % p
+        t2 = (a1 * a1 - a0 * a2) % p
+        den = (a0 * t0 + nr * (a2 * t1 + a1 * t2)) % p
+        dinv = inv(den, p)
+        return (t0 * dinv % p, t1 * dinv % p, t2 * dinv % p)
+
+    def eq(self, a: Fp3El, b: Fp3El) -> bool:
+        p = self.p
+        return all((x - y) % p == 0 for x, y in zip(a, b))
+
+    def is_zero(self, a: Fp3El) -> bool:
+        p = self.p
+        return all(x % p == 0 for x in a)
+
+    def pow(self, a: Fp3El, e: int) -> Fp3El:
+        if e < 0:
+            return self.pow(self.inv(a), -e)
+        res, base = self.one(), a
+        while e:
+            if e & 1:
+                res = self.mul(res, base)
+            base = self.sqr(base)
+            e >>= 1
+        return res
+
+    def sqrt(self, a: Fp3El):
+        """Generic Tonelli-Shanks in the order-p^3 multiplicative group."""
+        if self.is_zero(a):
+            return self.zero()
+        order = self.p**3 - 1
+        if self.pow(a, order // 2) != self.one():
+            return None
+        q, s = order, 0
+        while q % 2 == 0:
+            q //= 2
+            s += 1
+        # find a quadratic non-residue deterministically
+        z = None
+        for c0 in range(2, 40):
+            for cand in ((c0, 1, 0), (c0, 0, 1), (c0, 1, 1)):
+                if self.pow(cand, order // 2) != self.one():
+                    z = cand
+                    break
+            if z:
+                break
+        assert z is not None
+        m, c, t, r = s, self.pow(z, q), self.pow(a, q), self.pow(a, (q + 1) // 2)
+        while t != self.one():
+            i, tt = 0, t
+            while tt != self.one():
+                tt = self.sqr(tt)
+                i += 1
+            b = c
+            for _ in range(m - i - 1):
+                b = self.sqr(b)
+            m, c = i, self.sqr(b)
+            t = self.mul(t, self.sqr(b))
+            r = self.mul(r, b)
+        return r
+
+
+class Fp6Direct3Ctx:
+    """Arithmetic in Fp6 = Fp3[v]/(v^2 - u) — the GT field of a
+    BW6-style degree-6 pairing."""
+
+    def __init__(self, k3: Fp3Ctx):
+        self.k3 = k3
+        self.p = k3.p
+
+    def zero(self) -> Fp6D3El:
+        return (self.k3.zero(), self.k3.zero())
+
+    def one(self) -> Fp6D3El:
+        return (self.k3.one(), self.k3.zero())
+
+    def add(self, a, b):
+        return (self.k3.add(a[0], b[0]), self.k3.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.k3.sub(a[0], b[0]), self.k3.sub(a[1], b[1]))
+
+    def neg(self, a):
+        return (self.k3.neg(a[0]), self.k3.neg(a[1]))
+
+    def mul(self, a, b):
+        k3 = self.k3
+        v00 = k3.mul(a[0], b[0])
+        v11 = k3.mul(a[1], b[1])
+        c0 = k3.add(v00, k3.mul_by_u(v11))  # v^2 = u
+        c1 = k3.add(k3.mul(a[0], b[1]), k3.mul(a[1], b[0]))
+        return (c0, c1)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def mul_fp(self, a, k: int):
+        return (self.k3.mul_fp(a[0], k), self.k3.mul_fp(a[1], k))
+
+    def conj(self, a):
+        """v -> -v conjugation (the norm map to Fp3)."""
+        return (a[0], self.k3.neg(a[1]))
+
+    def inv(self, a):
+        k3 = self.k3
+        # norm = a0^2 - u * a1^2  in Fp3
+        n = k3.sub(k3.sqr(a[0]), k3.mul_by_u(k3.sqr(a[1])))
+        ninv = k3.inv(n)
+        return (k3.mul(a[0], ninv), k3.neg(k3.mul(a[1], ninv)))
+
+    def pow(self, a, e: int):
+        if e < 0:
+            return self.pow(self.inv(a), -e)
+        res = self.one()
+        base = a
+        while e:
+            if e & 1:
+                res = self.mul(res, base)
+            base = self.sqr(base)
+            e >>= 1
+        return res
+
+    def eq(self, a, b) -> bool:
+        return self.k3.eq(a[0], b[0]) and self.k3.eq(a[1], b[1])

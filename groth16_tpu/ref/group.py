@@ -55,13 +55,37 @@ class FpCtx:
         return a % self.p == 0
 
 
+def g2_field_ctx(c):
+    """Field context G2 coordinates live in: Fq for bw6-family curves,
+    Fq3 for mnt6, Fq2 otherwise."""
+    from groth16_tpu.ref.field import Fp2Ctx, Fp3Ctx
+
+    if c.g2_over_base:
+        return FpCtx(c.p)
+    if c.g2_field_degree == 3:
+        return Fp3Ctx(c.p, c.fp2_nonresidue)
+    return Fp2Ctx(c.p, c.fp2_nonresidue)
+
+
+def g1_jacobian(c) -> "JacobianOps":
+    return JacobianOps(FpCtx(c.p), A=(c.a % c.p) if c.a else None)
+
+
+def g2_jacobian(c) -> "JacobianOps":
+    A2 = getattr(c, "a2", None) if not c.g2_over_base else None
+    return JacobianOps(g2_field_ctx(c), A=A2)
+
+
 # A Jacobian point is (X, Y, Z); Z == zero() means infinity.
 # Affine (x, y) <-> (x, y, 1);  x = X/Z^2, y = Y/Z^3.
 
 
 class JacobianOps:
-    def __init__(self, k):
+    def __init__(self, k, A=None):
+        """k: field ctx; A: short-Weierstrass a-coefficient (None = 0,
+        the BLS/BN/BW6 case; MNT curves pass their nonzero A)."""
         self.k = k
+        self.A = A
 
     def infinity(self):
         k = self.k
@@ -87,7 +111,7 @@ class JacobianOps:
         return (pt[0], self.k.neg(pt[1]), pt[2])
 
     def double(self, pt):
-        """dbl-2009-l (a = 0)."""
+        """dbl-2009-l (a = 0) / dbl-2007-bl-style a-term when A != 0."""
         k = self.k
         X1, Y1, Z1 = pt
         if self.is_infinity(pt) or k.is_zero(Y1):
@@ -98,6 +122,9 @@ class JacobianOps:
         t = k.sub(k.sqr(k.add(X1, B)), k.add(A, C))
         D = k.add(t, t)
         E = k.mul_fp(A, 3) if hasattr(k, "mul_fp") else k.mul(A, 3)
+        if self.A is not None:
+            # + a * Z1^4
+            E = k.add(E, k.mul(self.A, k.sqr(k.sqr(Z1))))
         F_ = k.sqr(E)
         X3 = k.sub(F_, k.add(D, D))
         Y3 = k.sub(k.mul(E, k.sub(D, X3)), k.mul_fp(C, 8))

@@ -150,3 +150,146 @@ class RefPairing:
         out = self.final_exponentiation(self.miller_loop_single(p, q))
         assert out is not None
         return out
+
+
+class RefPairingTate:
+    """Tate pairing for curves whose GT is a quadratic extension of a
+    "half field" Kh:  full = Kh[v]/(v^2 - u) with Kh = Fq[u]/(u^d - nr).
+
+    Covers the BW6 family (d = 3, sextic twist, G2 over Fq), MNT4
+    (d = 2, quadratic twist, G2 over Fp2) and MNT6 (d = 3, quadratic
+    twist, G2 over Fp3):
+        e(P, Q) = f_{r,P}(untwist(Q))^((q^(2d)-1)/r)
+    with untwist(x', y') = (x' * u^-1, y' * u^-2 * v) — x-coordinates in
+    Kh (the half extension), so vertical lines die in the final
+    exponentiation and the Miller loop needs only line numerators.
+
+    Bilinear and non-degenerate on G1 x G2, which is all the Groth16
+    verification equation needs; the pairing never crosses the
+    serialization boundary (proofs/VKs hold only G1/G2 points), so the
+    Miller-loop choice is internal.  (Reference instantiations:
+    /root/reference/src/test.rs:135-149 (BW6-761) and
+    /root/reference/src/constraints.rs:452-589 (MNT4/MNT6 cycle).)
+    """
+
+    def __init__(self, curve_name: str):
+        from groth16_tpu.curves.params import get_curve
+
+        self.c = get_curve(curve_name)
+        q = self.c.p
+        nr = self.c.fp2_nonresidue % q
+        if self.c.g2_field_degree == 3 or self.c.g2_over_base:
+            self.kh = F.Fp3Ctx(q, nr)
+            d = 3
+        else:
+            self.kh = F.Fp2Ctx(q, nr)
+            d = 2
+        self.d = d
+        self.kgt = F.Fp6Direct3Ctx(self.kh) if False else _QuadOverHalf(self.kh)
+        # verifier/test-facing alias (interface parity with RefPairing.k12)
+        self.k12 = self.kgt
+        self.final_exp = (q ** (2 * d) - 1) // self.c.r
+        # W = u (the Kh generator); precompute u^-1 and u^-2
+        u = tuple([0, 1] + [0] * (d - 2))
+        self.u_inv = self.kh.inv(u)
+        self.u_inv2 = self.kh.mul(self.u_inv, self.u_inv)
+
+    def _embed(self, a: int):
+        return tuple([a % self.c.p] + [0] * (self.d - 1))
+
+    def _to_kh(self, coord):
+        if isinstance(coord, int):
+            return self._embed(coord)
+        if len(coord) == self.d:
+            return tuple(x % self.c.p for x in coord)
+        raise ValueError("bad G2 coordinate shape")
+
+    def untwist(self, q_pt):
+        """E'(Kh) -> E(GT-field): x in Kh, y in Kh * v."""
+        x2, y2 = q_pt
+        xh = self.kh.mul(self._to_kh(x2), self.u_inv)
+        yh = self.kh.mul(self._to_kh(y2), self.u_inv2)
+        return xh, yh
+
+    def miller_loop_single(self, p_pt, q_pt):
+        """f_{r, P}(untwist(Q)) — affine Miller loop over the scalar
+        field order, verticals eliminated."""
+        c = self.c
+        q = c.p
+        A = c.a % q
+        kh, kgt = self.kh, self.kgt
+        xq3, yq3 = self.untwist(q_pt)
+
+        def line_eval(xt, yt, lam):
+            # (y_Q - y_T) - lam*(x_Q - x_T):  c0 in Kh, c1 = yh (the v part)
+            c0 = kh.sub(
+                kh.mul_fp(kh.sub(xq3, self._embed(xt)), (-lam) % q),
+                self._embed(yt),
+            )
+            return (c0, yq3)
+
+        f = kgt.one()
+        xt, yt = p_pt
+        xp, yp = p_pt
+        bits = bin(c.r)[3:]  # skip the leading 1
+        for b in bits:
+            lam = (3 * xt * xt + A) * pow(2 * yt, q - 2, q) % q
+            f = kgt.mul(kgt.sqr(f), line_eval(xt, yt, lam))
+            x3 = (lam * lam - 2 * xt) % q
+            y3 = (lam * (xt - x3) - yt) % q
+            xt, yt = x3, y3
+            if b == "1":
+                if xt == xp and (yt + yp) % q == 0:
+                    # adding -P: vertical (eliminated); T -> O, end of loop
+                    xt, yt = None, None
+                    continue
+                lam = (yp - yt) * pow(xp - xt, q - 2, q) % q
+                f = kgt.mul(f, line_eval(xt, yt, lam))
+                x3 = (lam * lam - xt - xp) % q
+                y3 = (lam * (xt - x3) - yt) % q
+                xt, yt = x3, y3
+        return f
+
+    def multi_miller_loop(self, g1s, g2s):
+        f = self.kgt.one()
+        for p_pt, q_pt in zip(g1s, g2s):
+            if p_pt is None or q_pt is None:
+                continue
+            f = self.kgt.mul(f, self.miller_loop_single(p_pt, q_pt))
+        return f
+
+    def final_exponentiation(self, f):
+        if f == self.kgt.zero():
+            return None
+        return self.kgt.pow(f, self.final_exp)
+
+    def pairing(self, p_pt, q_pt):
+        if p_pt is None or q_pt is None:
+            return self.kgt.one()
+        return self.final_exponentiation(self.miller_loop_single(p_pt, q_pt))
+
+    @property
+    def kgt_one(self):
+        return self.kgt.one()
+
+
+def _QuadOverHalf(kh):
+    """Quadratic extension Kh[v]/(v^2 - u) over any half-field ctx that
+    exposes mul_by_u (Fp2Ctx or Fp3Ctx); the GT field of the Tate
+    pairing.  Fp6Direct3Ctx implements exactly this generically."""
+    return F.Fp6Direct3Ctx(kh)
+
+
+# Backwards-compatible name: the BW6 pairing is the d=3 instance.
+RefPairingBW6 = RefPairingTate
+
+
+def make_pairing(curve_name: str):
+    """RefPairing (tower-12 ate) for BLS/BN; RefPairingTate for the
+    degree-6/4 families (BW6, MNT4, MNT6)."""
+    from groth16_tpu.curves.params import get_curve
+
+    c = get_curve(curve_name)
+    if c.family in ("bls12", "bn"):
+        return RefPairing(curve_name)
+    return RefPairingTate(curve_name)

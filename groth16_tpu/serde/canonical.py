@@ -90,7 +90,7 @@ def de_g1(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool =
         x, flags = _de_fp(r.read(n), p, True)
         if flags & FLAG_INFINITY:
             return None
-        rhs = (x * x % p * x + c.b) % p
+        rhs = (x * x % p * x + c.a * x + c.b) % p
         y = F.sqrt_fp(rhs, p)
         if y is None:
             raise SerializationError("x not on curve")
@@ -106,7 +106,52 @@ def de_g1(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool =
     if validate:
         from groth16_tpu.ref import curve as rc
 
-        if not rc.is_on_curve_fp(p, c.b, pt):
+        A = c.a % p if c.a else 0
+        if not rc.is_on_curve_fp(p, c.b, pt, A=A):
+            raise SerializationError("point not on curve")
+        if rc.mul_fp(p, pt, c.r, A=A) is not None:
+            raise SerializationError("point not in subgroup")
+    return pt
+
+
+def _ser_fp_point(pt, p: int, compress: bool) -> bytes:
+    """Serialize an affine point with Fq coordinates (G1, or bw6 G2)."""
+    if pt is None:
+        x, y, flags = 0, 0, FLAG_INFINITY
+    else:
+        x, y = pt
+        flags = FLAG_Y_NEG if _is_neg(y, p) else 0
+    if compress:
+        return _ser_fp(x, p, flags)
+    return _ser_fp(x, p) + _ser_fp(y, p, flags)
+
+
+def _de_fp_point(r: io.BytesIO, c: CurveParams, b: int, compress: bool,
+                 validate: bool):
+    """Deserialize an affine Fq-coordinate point on y^2 = x^3 + b."""
+    p = c.p
+    n = _nbytes(p)
+    if compress:
+        x, flags = _de_fp(r.read(n), p, True)
+        if flags & FLAG_INFINITY:
+            return None
+        rhs = (x * x % p * x + b) % p
+        y = F.sqrt_fp(rhs, p)
+        if y is None:
+            raise SerializationError("x not on curve")
+        neg = (p - y) % p
+        y_big, y_small = max(y, neg), min(y, neg)
+        y = y_big if flags & FLAG_Y_NEG else y_small
+    else:
+        x, _ = _de_fp(r.read(n), p, False)
+        y, flags = _de_fp(r.read(n), p, True)
+        if flags & FLAG_INFINITY:
+            return None
+    pt = (x, y)
+    if validate:
+        from groth16_tpu.ref import curve as rc
+
+        if not rc.is_on_curve_fp(p, b, pt):
             raise SerializationError("point not on curve")
         if rc.mul_fp(p, pt, c.r) is not None:
             raise SerializationError("point not in subgroup")
@@ -114,6 +159,11 @@ def de_g1(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool =
 
 
 def ser_g2(pt, c: CurveParams, compress: bool = True) -> bytes:
+    if c.g2_over_base:
+        # bw6-family: G2 points are single-Fq affine pairs on y^2=x^3+b2
+        return _ser_fp_point(pt, c.p, compress)
+    if c.g2_field_degree == 3:
+        return _ser_ext_point(pt, c, compress)
     p = c.p
     if pt is None:
         x, y, flags = (0, 0), (0, 0), FLAG_INFINITY
@@ -132,6 +182,71 @@ def ser_g2(pt, c: CurveParams, compress: bool = True) -> bytes:
     )
 
 
+def _ext_is_neg(y, p: int) -> bool:
+    """arkworks ext-field ordering: compare coefficient-wise from the
+    HIGHEST coefficient down."""
+    ny = tuple((p - v) % p for v in y)
+    return tuple(reversed(y)) > tuple(reversed(ny))
+
+
+def _ser_ext_point(pt, c: CurveParams, compress: bool) -> bytes:
+    """G2 codec for extension degree != 2 (mnt6: Fp3 coordinates)."""
+    p = c.p
+    deg = c.g2_field_degree
+    if pt is None:
+        x, y, flags = (0,) * deg, (0,) * deg, FLAG_INFINITY
+    else:
+        x, y = pt
+        flags = FLAG_Y_NEG if _ext_is_neg(y, p) else 0
+    out = b"".join(_ser_fp(v, p) for v in x[:-1]) + _ser_fp(
+        x[-1], p, flags if compress else 0
+    )
+    if compress:
+        return out
+    out = b"".join(_ser_fp(v, p) for v in x)
+    return out + b"".join(_ser_fp(v, p) for v in y[:-1]) + _ser_fp(y[-1], p, flags)
+
+
+def _de_ext_point(r: io.BytesIO, c: CurveParams, compress: bool, validate: bool):
+    from groth16_tpu.ref import curve as rc
+    from groth16_tpu.ref.group import g2_field_ctx
+
+    p = c.p
+    n = _nbytes(p)
+    deg = c.g2_field_degree
+    kh = g2_field_ctx(c)
+    A2 = getattr(c, "a2", None)
+    if compress:
+        comps = [_de_fp(r.read(n), p, False)[0] for _ in range(deg - 1)]
+        last, flags = _de_fp(r.read(n), p, True)
+        if flags & FLAG_INFINITY:
+            return None
+        x = tuple(comps + [last])
+        rhs = kh.add(kh.mul(kh.sqr(x), x), c.b2)
+        if A2 is not None:
+            rhs = kh.add(rhs, kh.mul(A2, x))
+        y = kh.sqrt(rhs)
+        if y is None:
+            raise SerializationError("x not on twist curve")
+        neg = kh.neg(y)
+        if _ext_is_neg(y, p) != bool(flags & FLAG_Y_NEG):
+            y = neg
+    else:
+        x = tuple(_de_fp(r.read(n), p, False)[0] for _ in range(deg))
+        comps = [_de_fp(r.read(n), p, False)[0] for _ in range(deg - 1)]
+        last, flags = _de_fp(r.read(n), p, True)
+        if flags & FLAG_INFINITY:
+            return None
+        y = tuple(comps + [last])
+    pt = (x, y)
+    if validate:
+        if not rc.is_on_curve_fp2(kh, c.b2, pt, A2=A2):
+            raise SerializationError("point not on twist curve")
+        if rc.mul_fp2(kh, c.b2, pt, c.r, A2=A2) is not None:
+            raise SerializationError("point not in subgroup")
+    return pt
+
+
 def _fp2_is_neg(y: Tuple[int, int], p: int) -> bool:
     """y > -y in arkworks' QuadExtField ordering: compare c1, then c0."""
     c0, c1 = y
@@ -140,6 +255,10 @@ def _fp2_is_neg(y: Tuple[int, int], p: int) -> bool:
 
 
 def de_g2(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool = True):
+    if c.g2_over_base:
+        return _de_fp_point(r, c, c.b2 % c.p, compress, validate)
+    if c.g2_field_degree == 3:
+        return _de_ext_point(r, c, compress, validate)
     p = c.p
     n = _nbytes(p)
     k2 = F.Fp2Ctx(p, c.fp2_nonresidue)
@@ -150,6 +269,8 @@ def de_g2(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool =
             return None
         x = (x0, x1)
         rhs = k2.add(k2.mul(k2.sqr(x), x), c.b2)
+        if getattr(c, "a2", None) is not None:
+            rhs = k2.add(rhs, k2.mul(c.a2, x))
         y = k2.sqrt(rhs)
         if y is None:
             raise SerializationError("x not on twist curve")
@@ -169,9 +290,10 @@ def de_g2(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool =
     if validate:
         from groth16_tpu.ref import curve as rc
 
-        if not rc.is_on_curve_fp2(k2, c.b2, pt):
+        a2 = getattr(c, "a2", None)
+        if not rc.is_on_curve_fp2(k2, c.b2, pt, A2=a2):
             raise SerializationError("point not on twist curve")
-        if rc.mul_fp2(k2, c.b2, pt, c.r) is not None:
+        if rc.mul_fp2(k2, c.b2, pt, c.r, A2=a2) is not None:
             raise SerializationError("point not in subgroup")
     return pt
 
