@@ -155,19 +155,17 @@ class RefDomain:
                     return out
                 cur = cur * self.group_gen % p
             raise AssertionError("vanishing but not found in domain")
-        # L_i(t) = Z(t) * w^i * offset^? / (n * offset^{n-1} * (t - g*w^i))
-        # Use the direct formula via batch inversion of (t - x_i).
+        # L_i(t) = Z(t) / (Z'(x_i) * (t - x_i)) with Z(x) = x^n - g^n and
+        # Z'(x) = n x^{n-1}.  On the domain x_i^n = g^n (constant), so
+        # x_i^{n-1} = g^n / x_i and Z'(x_i) = n g^n / x_i — which removes
+        # the per-point modexp and makes the whole pass O(n) mulmods
+        # (this is the setup hot loop at 2^20+, r1cs_to_qap.rs:141).
         xs = self.elements()
         denoms = [(t - x) % p for x in xs]
         inv_denoms = _batch_inv(denoms, p)
-        # L_i(t) = Z(t) / (Z'(x_i) * (t - x_i)); Z'(x) = n*x^{n-1} for x^n - g^n
-        out = []
         gn = pow(self.offset, n, p)
-        for x, invd in zip(xs, inv_denoms):
-            zprime = n * pow(x, n - 1, p) % p
-            li = zt * pow(zprime, p - 2, p) % p * invd % p
-            out.append(li)
-        return out
+        c0 = zt * pow(n * gn % p, p - 2, p) % p  # Z(t) / (n g^n)
+        return [c0 * x % p * invd % p for x, invd in zip(xs, inv_denoms)]
 
     def sample_element_outside_domain(self, rng) -> int:
         t = rng.field_element(self.p)

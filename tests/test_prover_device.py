@@ -130,3 +130,37 @@ def test_prover_device_mimc_bls12_377():
     assert got == expect
     assert verify_proof(pvk, got, [image])
     assert not verify_proof(pvk, got, [(image + 1) % c.r])
+
+
+def test_prove_2p12_pallas_path_bit_exact():
+    """Production-configuration test at scale: a 2^12-domain prove runs
+    the Pallas kernel path on TPU (batch sizes far above the dispatch
+    threshold, both _pad_size regimes inside the MSM) and must be
+    bit-identical to the exact prover."""
+    import jax
+
+    from groth16_tpu.curves.params import get_curve
+    from groth16_tpu.protocol import prepare_verifying_key, setup, verify_proof
+    from groth16_tpu.protocol.prover import create_proof_with_reduction
+    from groth16_tpu.protocol.prover_tpu import TpuProver
+    from groth16_tpu.r1cs.circuits import DummyCircuit
+    from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisMode
+    from groth16_tpu.utils.rng import Rng
+
+    curve = "bn254"
+    c = get_curve(curve)
+    ncon, nvar = (1 << 12) - 2, 1 << 11
+    rng = Rng(0x2B12)
+    pk, vk = setup(DummyCircuit(nvar, ncon), curve, rng)
+    a, b = 3, 5
+    cs = ConstraintSystem(c.r, mode=SynthesisMode.PROVE)
+    DummyCircuit(nvar, ncon, a=a, b=b)(cs)
+    assert cs.is_satisfied()
+    r_zk, s_zk = rng.field_element(c.r), rng.field_element(c.r)
+    expect = create_proof_with_reduction(
+        DummyCircuit(nvar, ncon, a=a, b=b), pk, r_zk, s_zk
+    )
+    prover = TpuProver(pk, cs.to_matrices())
+    got = prover.prove(cs.full_assignment(), r_zk, s_zk)
+    assert got == expect, "device (Pallas-path) proof != exact proof"
+    assert verify_proof(prepare_verifying_key(vk), got, [15])
