@@ -140,6 +140,18 @@ class ShardedProver:
         self.fr = make_spec(self.c.r, name=f"{self.curve}.Fr")
         S = self.mesh.shape[axis]
         self.dpk = upload_proving_key(pk, matrices, pad_multiple=S)
+        # place the large query tensors sharded over the mesh element
+        # axis at upload time (SURVEY.md §5.4: PKs for 2^24 constraints
+        # are tens of GB — they must land directly in sharded HBM, never
+        # materialize replicated)
+        from groth16_tpu.par.mesh import shard_elements
+
+        self.dpk.g1_msm_points = shard_elements(
+            self.mesh, self.dpk.g1_msm_points, axis
+        )
+        self.dpk.b_g2_tail = shard_elements(
+            self.mesh, self.dpk.b_g2_tail, axis
+        )
         self.sntt = ShardedNtt(self.dpk.domain, self.mesh, axis)
         self._jit = jax.jit(
             functools.partial(_prove_sharded, self.curve, self.mesh, self.axis)

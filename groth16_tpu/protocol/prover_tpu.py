@@ -49,6 +49,114 @@ def _pad_scalars(s: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.pad(s, ((0, 0), (0, n_pad - n)))
 
 
+# Domains above this size run the witness map as per-op device programs:
+# the single fused program exceeds the backend compile-service limits
+# (observed at 2^20 on the axon tunnel; the 3-phase split alone is not
+# fine enough there).
+WITNESS_FUSED_MAX = 1 << 18
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _matvec_jit(curve: str, dm, z_mont: jnp.ndarray):
+    from groth16_tpu.qap.device import sparse_matvec
+
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    return sparse_matvec(fr, dm, z_mont)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _splice_pad_jit(curve: str, rows: jnp.ndarray, z_mont: jnp.ndarray,
+                    cfg):
+    """Input-consistency splice + zero-pad (r1cs_to_qap.rs:195-199)."""
+    num_constraints, num_inputs, n = cfg
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    a = jnp.concatenate(
+        [rows[:, :num_constraints], z_mont[:, :num_inputs]], axis=-1
+    )
+    pad = n - a.shape[-1]
+    if pad:
+        a = jnp.concatenate([a, fp.zeros(fr, (pad,))], axis=-1)
+    return a
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _pad_rows_jit(curve: str, rows: jnp.ndarray, cfg):
+    num_constraints, n = cfg
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    a = rows[:, :num_constraints]
+    pad = n - a.shape[-1]
+    if pad:
+        a = jnp.concatenate([a, fp.zeros(fr, (pad,))], axis=-1)
+    return a
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _mul_jit(curve: str, a: jnp.ndarray, b: jnp.ndarray):
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    return fp.mont_mul(fr, a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _subscale_jit(curve: str, ab: jnp.ndarray, zg_inv: int, c_rows: jnp.ndarray):
+    cc = get_curve(curve)
+    fr = make_spec(cc.r, name=f"{curve}.Fr")
+    return fp.mont_mul(
+        fr, fp.sub(fr, ab, c_rows), fp.const(fr, zg_inv, (1,))
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _scalar_prep_jit(curve: str, dpk: DeviceProvingKey, h_mont, z_mont):
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    h_std = fp.from_mont(fr, h_mont)
+    z_std = fp.from_mont(fr, z_mont)
+    rho_std = z_std[:, 1:]
+    aux_std = z_std[:, dpk.num_inputs :]
+    n_pad = dpk.n_pad
+    scalars4 = jnp.stack(
+        [
+            _pad_scalars(rho_std, n_pad),
+            _pad_scalars(rho_std, n_pad),
+            _pad_scalars(h_std[:, : dpk.n_h], n_pad),
+            _pad_scalars(aux_std[:, : dpk.n_aux], n_pad),
+        ],
+        axis=0,
+    )
+    return scalars4, rho_std
+
+
+def _witness_fine(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
+    """witness_map_device's exact op sequence as SEPARATE device
+    programs (each NTT/matvec/pointwise its own jit) — the large-domain
+    path.  Bit-identical to _witness_jit (same kernels, same order)."""
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    dom = dpk.domain
+    n = dom.size
+    ni, nc = dpk.num_inputs, dpk.num_constraints
+    a = _splice_pad_jit(curve, _matvec_jit(curve, dpk.mats["a"], z_mont),
+                        z_mont, (nc, ni, n))
+    b = _pad_rows_jit(curve, _matvec_jit(curve, dpk.mats["b"], z_mont),
+                      (nc, n))
+    a = dom.coset_fft(dom.ifft(a))
+    b = dom.coset_fft(dom.ifft(b))
+    ab = _mul_jit(curve, a, b)
+    crows = _pad_rows_jit(curve, _matvec_jit(curve, dpk.mats["c"], z_mont),
+                          (nc, n))
+    crows = dom.coset_fft(dom.ifft(crows))
+    p = fr.modulus
+    zg = dom.evaluate_vanishing_polynomial(dom.field.generator)
+    zg_inv = pow(zg, p - 2, p)
+    ab = _subscale_jit(curve, ab, zg_inv, crows)
+    h_mont = dom.coset_ifft(ab)
+    return _scalar_prep_jit(curve, dpk, h_mont, z_mont)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _witness_jit(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
     """Phase 1: witness map + standard-form scalar prep."""
@@ -164,8 +272,11 @@ def _prove_phases(curve, dpk, z_mont, r_bits, s_bits, rs_bits, timer=None):
     timer: optional utils.profiling.PhaseTimer — when given, each phase
     is blocked on and timed (the ark_std start_timer!/end_timer! analog,
     prover.rs:35-125)."""
+    witness = (
+        _witness_fine if dpk.domain.size > WITNESS_FUSED_MAX else _witness_jit
+    )
     if timer is None:
-        scalars4, rho_std = _witness_jit(curve, dpk, z_mont)
+        scalars4, rho_std = witness(curve, dpk, z_mont)
         acc4 = _msm_g1_jit(curve, dpk, scalars4)
         b2_acc = _msm_g2_jit(curve, dpk, rho_std)
         return _assembly_jit(curve, dpk, acc4, b2_acc, r_bits, s_bits, rs_bits)
@@ -173,7 +284,7 @@ def _prove_phases(curve, dpk, z_mont, r_bits, s_bits, rs_bits, timer=None):
 
     with timer.phase("witness_map"):
         scalars4, rho_std = _jax.block_until_ready(
-            _witness_jit(curve, dpk, z_mont)
+            witness(curve, dpk, z_mont)
         )
     with timer.phase("msm_g1_x4"):
         acc4 = _jax.block_until_ready(_msm_g1_jit(curve, dpk, scalars4))

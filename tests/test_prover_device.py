@@ -164,3 +164,35 @@ def test_prove_2p12_pallas_path_bit_exact():
     got = prover.prove(cs.full_assignment(), r_zk, s_zk)
     assert got == expect, "device (Pallas-path) proof != exact proof"
     assert verify_proof(prepare_verifying_key(vk), got, [15])
+
+
+def test_witness_fine_matches_fused():
+    """The large-domain per-op witness path (_witness_fine) must produce
+    digit-identical outputs to the fused single-program path."""
+    import numpy as np
+    import jax
+
+    from groth16_tpu.curves.params import get_curve
+    from groth16_tpu.protocol import setup
+    from groth16_tpu.protocol.prover_tpu import (
+        TpuProver,
+        _witness_fine,
+        _witness_jit,
+    )
+    from groth16_tpu.r1cs.circuits import DummyCircuit
+    from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisMode
+    from groth16_tpu.utils.rng import Rng
+
+    curve = "bn254"
+    c = get_curve(curve)
+    ncon, nvar = 126, 64
+    rng = Rng(0xF1)
+    pk, _ = setup(DummyCircuit(nvar, ncon), curve, rng)
+    cs = ConstraintSystem(c.r, mode=SynthesisMode.PROVE)
+    DummyCircuit(nvar, ncon, a=3, b=5)(cs)
+    prover = TpuProver(pk, cs.to_matrices())
+    z = prover.encode_assignment(cs.full_assignment())
+    fused = jax.block_until_ready(_witness_jit(curve, prover.dpk, z))
+    fine = jax.block_until_ready(_witness_fine(curve, prover.dpk, z))
+    for a, b in zip(jax.tree.leaves(fused), jax.tree.leaves(fine)):
+        assert (np.asarray(a) == np.asarray(b)).all()

@@ -107,3 +107,4 @@ def test_sharded_prover_end_to_end(mesh):
     assert got == expect
     pvk = prepare_verifying_key(vk)
     assert verify_proof(pvk, got, [15])
+
