@@ -37,8 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_g16")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from groth16_tpu.utils.jitcache import enable_compilation_cache
+
+enable_compilation_cache()
 
 CURVE = os.environ.get("G16_BENCH_CURVE", "bn254")
 LOG_N = int(os.environ.get("G16_BENCH_LOGN", "16"))

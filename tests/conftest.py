@@ -34,6 +34,7 @@ elif _platform == "auto":
         jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: limb-engine graphs are big; recompiling
-# them on every pytest run would dominate wall-clock.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_g16")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# them on every run would dominate wall-clock.
+from groth16_tpu.utils.jitcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
