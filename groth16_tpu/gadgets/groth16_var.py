@@ -95,14 +95,26 @@ class PreparedVerifyingKeyVar:
 
 
 class Groth16VerifierGadget:
-    """constraints.rs:131-303 for a BLS12 inner curve over the native
-    constraint field."""
+    """constraints.rs:131-303 for an inner curve whose base field is the
+    native constraint field: BLS12-377 (inside BW6-761 circuits) or
+    MNT4-298 (inside MNT6-298 circuits — the reference's own cycle
+    test, constraints.rs:452-589)."""
 
     def __init__(self, cs, inner_curve: str):
         self.cs = cs
         self.c = get_curve(inner_curve)
-        self.e = BlsPairingVar(cs, inner_curve)
+        if self.c.family == "bls12":
+            self.e = BlsPairingVar(cs, inner_curve)
+        elif self.c.family == "mnt4":
+            from groth16_tpu.gadgets.pairing_var import TatePairingVar
+
+            self.e = TatePairingVar(cs, inner_curve)
+        else:
+            raise NotImplementedError(
+                f"no in-circuit pairing for family {self.c.family}"
+            )
         self.b3 = 3 * self.c.b % self.c.p
+        self.a_coeff = self.c.a % self.c.p
 
     # -- prepare (constraints.rs:61-76) -------------------------------------
 
@@ -124,10 +136,13 @@ class Groth16VerifierGadget:
         cs = self.cs
         assert len(input_bits) + 1 == len(pvk.gamma_abc_g1)
         acc = G1Var.from_affine_var(
-            cs, pvk.gamma_abc_g1[0][0], pvk.gamma_abc_g1[0][1], self.b3
+            cs, pvk.gamma_abc_g1[0][0], pvk.gamma_abc_g1[0][1], self.b3,
+            self.a_coeff,
         )
         for bits, base in zip(input_bits, pvk.gamma_abc_g1[1:]):
-            base_var = G1Var.from_affine_var(cs, base[0], base[1], self.b3)
+            base_var = G1Var.from_affine_var(
+                cs, base[0], base[1], self.b3, self.a_coeff
+            )
             acc = acc.add(base_var.scalar_mul_le(bits))
         return acc.to_affine()
 

@@ -238,3 +238,99 @@ def _scale12(a, k: int):
     return tuple(
         tuple((c0.scale(k), c1.scale(k)) for c0, c1 in c6) for c6 in a
     )
+
+
+class TatePairingVar:
+    """In-circuit Tate pairing for MNT4-style curves (GT = Fp4 =
+    Fp2[v]/(v^2 - u)), mirroring the exact engine's RefPairingTate over
+    constraint variables.  Used by the MNT4-inside-MNT6 instantiation of
+    the verifier gadget — the reference's own test cycle
+    (/root/reference/src/constraints.rs:452-589)."""
+
+    def __init__(self, cs, curve: str):
+        from groth16_tpu.gadgets.r1cs_std import Fp2CtxVar, QuadOverHalfCtxVar
+        from groth16_tpu.ref.pairing import RefPairingTate
+
+        self.cs = cs
+        self.c = get_curve(curve)
+        assert self.c.family == "mnt4" and cs.modulus == self.c.p
+        self.exact = RefPairingTate(curve)
+        nr = self.c.fp2_nonresidue
+        self.kh = Fp2CtxVar(cs, nr)
+        self.k12 = QuadOverHalfCtxVar(self.kh)  # GT ctx (Fp4)
+        # u^-1, u^-2 constants in Fp2 (for the untwist)
+        self.u_inv = self.exact.u_inv
+        self.u_inv2 = self.exact.u_inv2
+        self.final_exponent = self.exact.final_exp
+
+    def _cmul(self, x, c):
+        """Fp2Var times an Fp2 CONSTANT: linear."""
+        nr = self.kh.nr
+        return (
+            x[0].scale(c[0]) + x[1].scale(nr * c[1]),
+            x[0].scale(c[1]) + x[1].scale(c[0]),
+        )
+
+    def _embed(self, a: FpVar):
+        return (a, FpVar.constant(self.cs, 0))
+
+    def untwist(self, q_var):
+        """E'(Fp2) var -> (x in Fp2Var, yh in Fp2Var  [times v])."""
+        x2, y2 = q_var
+        return self._cmul(x2, self.u_inv), self._cmul(y2, self.u_inv2)
+
+    def miller_loop(self, p_var, q_var):
+        """f_{r,P}(untwist(Q)) with verticals eliminated; affine G1
+        steps over FpVar (generic tangent/chord only — exceptional cases
+        cannot occur for prime-order inputs inside the r-loop)."""
+        cs = self.cs
+        kh, kgt = self.kh, self.k12
+        A = self.c.a
+        xq, yh = self.untwist(q_var)
+        xp, yp = p_var
+        xt, yt = p_var
+        f = kgt.one()
+
+        def line(xt_, yt_, lam):
+            c0 = kh.sub(
+                kh.mul_fpvar(kh.sub(xq, self._embed(xt_)), -lam),
+                self._embed(yt_),
+            )
+            return (c0, yh)
+
+        bits = bin(self.c.r)[3:]
+        for i, b in enumerate(bits):
+            lam = (xt.square().scale(3) + FpVar.constant(cs, A)).mul(
+                (yt + yt).inverse()
+            )
+            f = kgt.mul(kgt.sqr(f), line(xt, yt, lam))
+            x3 = lam.square() - xt - xt
+            y3 = lam.mul(xt - x3) - yt
+            xt, yt = x3, y3
+            if b == "1":
+                if i == len(bits) - 1:
+                    # the FINAL addition of the r-loop is always the
+                    # vertical P + (-P) (T = (r-1)P = -P here, r odd):
+                    # its line is eliminated by the final exponentiation
+                    # and T becomes O — skip it STRUCTURALLY, exactly as
+                    # the exact engine does.  Intermediate prefixes of r
+                    # are < r-1, so no other step can be vertical.
+                    continue
+                lam = (yp - yt).mul((xp - xt).inverse())
+                f = kgt.mul(f, line(xt, yt, lam))
+                x3 = lam.square() - xt - xp
+                y3 = lam.mul(xt - x3) - yt
+                xt, yt = x3, y3
+        return f
+
+    def final_exp(self, f):
+        """f^((q^4-1)/r): plain square-and-multiply over the positive
+        exponent (no inversion needed)."""
+        kgt = self.k12
+        bits = bin(self.final_exponent)[3:]
+        t = f
+        for b in bits:
+            t = kgt.sqr(t)
+            if b == "1":
+                t = kgt.mul(t, f)
+        return t

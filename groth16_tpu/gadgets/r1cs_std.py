@@ -223,6 +223,10 @@ class Fp2CtxVar:
     def conj(self, a):
         return (a[0], -a[1])
 
+    def mul_by_u(self, a):
+        """a * u (u^2 = nr): linear."""
+        return (a[1].scale(self.nr), a[0])
+
     def inv(self, a):
         """Witness the inverse, enforce a * ainv = 1 (2 constraints + mul)."""
         val = None
@@ -411,4 +415,55 @@ def _value6(a: Fp6Var):
 
 def _value12(a: Fp12Var):
     v0, v1 = _value6(a[0]), _value6(a[1])
+    return None if v0 is None or v1 is None else (v0, v1)
+
+
+class QuadOverHalfCtxVar:
+    """Kh[v]/(v^2 - u) over any half-field var ctx with mul_by_u — the
+    GT field of the Tate pairing families (Fp4 for MNT4 over Fp2Var;
+    mirrors ref.field.Fp6Direct3Ctx)."""
+
+    def __init__(self, kh):
+        self.kh = kh
+        self.cs = kh.cs
+
+    def one(self):
+        return (self.kh.one(), self.kh.zero())
+
+    def new_witness(self, a):
+        return (
+            self.kh.new_witness(None if a is None else a[0]),
+            self.kh.new_witness(None if a is None else a[1]),
+        )
+
+    def add(self, a, b):
+        return (self.kh.add(a[0], b[0]), self.kh.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.kh.sub(a[0], b[0]), self.kh.sub(a[1], b[1]))
+
+    def mul(self, a, b):
+        kh = self.kh
+        v00 = kh.mul(a[0], b[0])
+        v11 = kh.mul(a[1], b[1])
+        c0 = kh.add(v00, kh.mul_by_u(v11))
+        c1 = kh.sub(kh.sub(kh.mul(kh.add(a[0], a[1]), kh.add(b[0], b[1])), v00), v11)
+        return (c0, c1)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def enforce_equal(self, a, b):
+        self.kh.enforce_equal(a[0], b[0])
+        self.kh.enforce_equal(a[1], b[1])
+
+
+def _value_kh(a):
+    """Tuple-of-FpVar -> int tuple (None-able)."""
+    vals = tuple(c.value for c in a)
+    return None if any(v is None for v in vals) else vals
+
+
+def _value_quad(a):
+    v0, v1 = _value_kh(a[0]), _value_kh(a[1])
     return None if v0 is None or v1 is None else (v0, v1)
