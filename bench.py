@@ -64,7 +64,6 @@ def model_prove_seconds(log_n: int) -> float:
 
 
 def main():
-    from groth16_tpu.config import CONFIG
     from groth16_tpu.curves.params import get_curve
     from groth16_tpu.protocol.generator_tpu import setup_device
     from groth16_tpu.protocol.prover_tpu import TpuProver

@@ -9,7 +9,7 @@ protocol boundary: proving keys are encoded once and stay device-resident
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -58,8 +58,7 @@ Three interchangeable realizations (groth16_tpu/config.py):
 
 from __future__ import annotations
 
-import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

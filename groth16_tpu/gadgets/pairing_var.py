@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 from fractions import Fraction
-from typing import List, Tuple
+from typing import Tuple
 
 from groth16_tpu.curves.params import get_curve
 from groth16_tpu.gadgets.r1cs_std import (

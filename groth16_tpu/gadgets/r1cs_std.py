@@ -22,7 +22,6 @@ from groth16_tpu.r1cs.system import (
     ConstraintSystem,
     LinearCombination,
     ONE,
-    SynthesisMode,
 )
 
 

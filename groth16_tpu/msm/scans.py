@@ -20,7 +20,6 @@ the TRAILING axis of every leaf.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

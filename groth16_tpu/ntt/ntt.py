@@ -22,8 +22,6 @@ The multi-chip all-to-all variant lives in par/ntt_cp.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,8 +21,6 @@ the 8-virtual-device CPU mesh, SURVEY.md §4).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

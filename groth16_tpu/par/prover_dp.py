@@ -28,7 +28,6 @@ from groth16_tpu.curves.params import get_curve
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import encode, make_spec
 from groth16_tpu.msm.pippenger import msm_device_lanes
-from groth16_tpu.ntt.ntt import NttDomain
 from groth16_tpu.par.mesh import DATA_AXIS, make_mesh
 from groth16_tpu.par.ntt_cp import ShardedNtt
 from groth16_tpu.protocol.data_structures import Proof, ProvingKey

@@ -18,7 +18,6 @@ from groth16_tpu.qap.reduction import LibsnarkReduction
 from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisError, SynthesisMode
 from groth16_tpu.ref.curve import RefGroups
 from groth16_tpu.ref.domain import RefDomain
-from groth16_tpu.ref.group import FpCtx, JacobianOps
 from groth16_tpu.utils.rng import Rng
 
 

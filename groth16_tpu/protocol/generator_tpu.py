@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Callable, List, Sequence
 
 import jax
-import numpy as np
 
 from groth16_tpu.curves import codec
 from groth16_tpu.curves.params import get_curve

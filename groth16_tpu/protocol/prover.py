@@ -22,7 +22,7 @@ from groth16_tpu.protocol.data_structures import Proof, ProvingKey, VerifyingKey
 from groth16_tpu.qap.reduction import LibsnarkReduction
 from groth16_tpu.r1cs.matrices import ConstraintMatrices
 from groth16_tpu.r1cs.system import ConstraintSystem, SynthesisMode
-from groth16_tpu.ref.group import FpCtx, JacobianOps
+from groth16_tpu.ref.group import JacobianOps
 from groth16_tpu.utils.rng import Rng
 
 

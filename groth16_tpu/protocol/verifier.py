@@ -16,7 +16,6 @@ from groth16_tpu.protocol.data_structures import (
     VerifyingKey,
 )
 from groth16_tpu.r1cs.system import SynthesisError
-from groth16_tpu.ref.group import FpCtx, JacobianOps
 from groth16_tpu.ref.pairing import make_pairing
 
 

@@ -15,15 +15,13 @@ host-precomputed validity mask.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from groth16_tpu.fields import fp
-from groth16_tpu.fields.spec import FpSpec, encode, make_spec
+from groth16_tpu.fields.spec import FpSpec, encode
 from groth16_tpu.ntt.ntt import NttDomain
 from groth16_tpu.r1cs.matrices import ConstraintMatrices, FlatMatrix
 

@@ -16,7 +16,6 @@ from typing import List, Tuple
 
 from groth16_tpu.curves.params import FieldParams
 from groth16_tpu.r1cs.matrices import ConstraintMatrices
-from groth16_tpu.r1cs.system import SynthesisError
 from groth16_tpu.ref.domain import RefDomain
 
 

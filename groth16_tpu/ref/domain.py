@@ -18,7 +18,7 @@ ark-poly's Radix2EvaluationDomain semantics.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from groth16_tpu.curves.params import FieldParams
 

@@ -21,7 +21,7 @@ byte-identical with arkworks' and interchangeable with it
 from __future__ import annotations
 
 import io
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from groth16_tpu.curves.params import CurveParams, get_curve
 from groth16_tpu.protocol.data_structures import Proof, ProvingKey, VerifyingKey

@@ -12,7 +12,7 @@ overwhelming probability, so verification doubles as the checksum)."""
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 from groth16_tpu.protocol.data_structures import Proof
 from groth16_tpu.protocol.verifier import prepare_verifying_key, verify_proof

@@ -2,8 +2,6 @@
 both engines, serde — mirroring /root/reference/src/test.rs:135-149
 (`test_prove_and_verify::<BW6_761>(1)`)."""
 
-import random
-
 import pytest
 
 from groth16_tpu.curves.params import get_curve

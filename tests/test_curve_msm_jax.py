@@ -5,7 +5,6 @@ import random
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 from groth16_tpu.curves import codec
 from groth16_tpu.curves.params import get_curve

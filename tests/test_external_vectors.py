@@ -18,8 +18,6 @@ format definitions, exercising the same flag semantics our serde module
 implements for the ark format.)
 """
 
-import pytest
-
 from groth16_tpu.curves.params import get_curve
 
 # -- published constants (IETF CFRG draft / zcash spec) ----------------------

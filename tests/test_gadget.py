@@ -4,8 +4,6 @@ BW6-761's scalar field) — the one-layer composition.  Mirrors
 /root/reference/src/constraints.rs:452-589 (which runs the same flow on
 the MNT4/MNT6 cycle)."""
 
-import random
-
 import pytest
 
 from groth16_tpu.curves.params import get_curve

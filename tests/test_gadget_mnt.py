@@ -3,7 +3,6 @@ inside an MNT6-298-scalar-field constraint system
 (/root/reference/src/constraints.rs:452-589)."""
 
 import itertools
-import random
 
 import pytest
 

@@ -4,8 +4,6 @@ fields — benches/bench.rs:154-155 run MNT curves at 2^20)."""
 
 import random
 
-import pytest
-
 from groth16_tpu.curves.params import FieldParams, get_curve
 from groth16_tpu.ref.domain import RefDomain
 
