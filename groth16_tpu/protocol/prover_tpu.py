@@ -57,6 +57,13 @@ WITNESS_FUSED_MAX = 1 << 18
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def _to_mont_jit(curve: str, std: jnp.ndarray):
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    return fp.to_mont(fr, std)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def _matvec_jit(curve: str, dm, z_mont: jnp.ndarray):
     from groth16_tpu.qap.device import sparse_matvec
 
@@ -362,7 +369,11 @@ class TpuProver:
         self.dpk = upload_proving_key(pk, matrices)
 
     def encode_assignment(self, full_assignment: List[int]) -> jnp.ndarray:
-        return jnp.asarray(encode(list(full_assignment), self.fr))
+        """Host limbs in STANDARD form, Montgomery conversion on device:
+        one wide mont_mul replaces a python bigint mulmod per value (the
+        dominant per-prove host cost at 2^20)."""
+        std = jnp.asarray(encode(list(full_assignment), self.fr, mont=False))
+        return _to_mont_jit(self.curve, std)
 
     def prove(self, full_assignment: List[int], r: int, s: int,
               timer=None) -> Proof:

@@ -100,8 +100,10 @@ def test_groups(name):
 
 @pytest.mark.parametrize("name", CURVES)
 def test_pairing_bilinear(name):
+    from groth16_tpu.ref.pairing import make_pairing
+
     g = RefGroups(name)
-    e = RefPairing(name)
+    e = make_pairing(name)  # ate (Fp12) or Tate (Fq6/Fp4) per family
     P = g.g1_sample(seed=11)
     Q = g.g2_sample(seed=13)
     base = e.pairing(P, Q)
