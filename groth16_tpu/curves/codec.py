@@ -16,17 +16,17 @@ import numpy as np
 
 from groth16_tpu.curves.point import CurveDevice, Point
 from groth16_tpu.curves.params import CurveParams
-from groth16_tpu.fields.ops import Fp2Ops, FpOps
+from groth16_tpu.fields.ops import Fp2Ops, Fp3Ops, FpOps
 from groth16_tpu.fields.spec import FpSpec, encode, decode, make_spec
 
 
 def g1_ops(c: CurveParams) -> CurveDevice:
-    assert c.a == 0, (
-        "device point kernels use a=0 complete formulas; "
-        f"{c.name} (a={c.a}) proves on the exact engine"
-    )
+    """a = 0 families run the fused RCB a=0 kernels; MNT (a = 2 / 11)
+    routes to the generic-a complete formula inside CurveDevice."""
     return CurveDevice(
-        FpOps(make_spec(c.p, name=f"{c.name}.Fq")), b3=3 * c.b % c.p
+        FpOps(make_spec(c.p, name=f"{c.name}.Fq")),
+        b3=3 * c.b % c.p,
+        a=c.a % c.p,
     )
 
 
@@ -36,10 +36,19 @@ def g2_ops(c: CurveParams) -> CurveDevice:
         return CurveDevice(
             FpOps(make_spec(c.p, name=f"{c.name}.Fq")), b3=3 * c.b2 % c.p
         )
+    spec = make_spec(c.p, name=f"{c.name}.Fq")
+    if c.g2_field_degree == 3:
+        b2 = c.b2
+        return CurveDevice(
+            Fp3Ops(spec, c.fp2_nonresidue),
+            b3=tuple(3 * x % c.p for x in b2),
+            a=getattr(c, "a2", (0, 0, 0)),
+        )
     b2_0, b2_1 = c.b2
     return CurveDevice(
-        Fp2Ops(make_spec(c.p, name=f"{c.name}.Fq"), c.fp2_nonresidue),
+        Fp2Ops(spec, c.fp2_nonresidue),
         b3=(3 * b2_0 % c.p, 3 * b2_1 % c.p),
+        a=getattr(c, "a2", (0, 0)),
     )
 
 
@@ -64,27 +73,31 @@ def g1_to_device(c: CurveParams, pts: Sequence[Optional[Tuple[int, int]]]) -> Po
 
 
 def g2_to_device(c: CurveParams, pts) -> Point:
-    """Affine G2 points ((c0,c1),(c0,c1)) -> projective device batch.
-    For bw6-family curves G2 points are plain Fq pairs (same layout as
-    G1)."""
+    """Affine G2 points (tower-coefficient tuples) -> projective device
+    batch [L, d, N] for extension degree d (2 for bls/bn/mnt4, 3 for
+    mnt6).  For bw6-family curves G2 points are plain Fq pairs (same
+    layout as G1)."""
     if c.g2_over_base:
         return g1_to_device(c, pts)
     spec = make_spec(c.p, name=f"{c.name}.Fq")
+    d = c.g2_field_degree
 
-    def enc2(vals):  # list of (c0, c1) -> [L, 2, N]
+    def encd(vals):  # list of d-tuples -> [L, d, N]
         flat = []
         for v in vals:
             flat.extend(v)
-        arr = encode(flat, spec)  # [L, 2N]; column 2i = c0_i, 2i+1 = c1_i
-        arr = arr.reshape(spec.n_limbs, len(vals), 2).transpose(0, 2, 1)
+        arr = encode(flat, spec)  # [L, d*N]; column d*i+j = cj_i
+        arr = arr.reshape(spec.n_limbs, len(vals), d).transpose(0, 2, 1)
         return jnp.asarray(np.ascontiguousarray(arr))
 
-    xs = [p[0] if p is not None else (0, 0) for p in pts]
-    ys = [p[1] if p is not None else (1, 0) for p in pts]
+    zero_t = (0,) * d
+    one_t = (1,) + (0,) * (d - 1)
+    xs = [p[0] if p is not None else zero_t for p in pts]
+    ys = [p[1] if p is not None else one_t for p in pts]
     inf = np.array([p is None for p in pts])
-    x = enc2(xs)
-    y = enc2(ys)
-    one = encode([1, 0], spec).reshape(spec.n_limbs, 2, 1)
+    x = encd(xs)
+    y = encd(ys)
+    one = encode(list(one_t), spec).reshape(spec.n_limbs, d, 1)
     z = jnp.asarray(np.where(inf[None, None, :], np.zeros_like(one), one))
     return (x, y, z)
 
@@ -110,17 +123,21 @@ def g2_from_device(c: CurveParams, g: CurveDevice, pt: Point):
     single = pt[2].ndim == g.k.coord_ndim
     if single:
         pt = tuple(a[..., None] for a in pt)
-    x, y, inf = g.to_affine(pt)  # [L, 2, N]
+    x, y, inf = g.to_affine(pt)  # [L, d, N]
+    d = x.shape[1]
     n = x.shape[-1]
-    # -> [L, N, 2] so decode's row-major batch flattening interleaves
-    # (c0_i, c1_i) pairs
+    # -> [L, N, d] so decode's row-major batch flattening interleaves
+    # per-point coefficient tuples
     xs = decode(np.moveaxis(np.asarray(x), 1, 2), spec)
     ys = decode(np.moveaxis(np.asarray(y), 1, 2), spec)
     infs = np.asarray(inf)
     out = [
         None
         if infs[i]
-        else ((xs[2 * i], xs[2 * i + 1]), (ys[2 * i], ys[2 * i + 1]))
+        else (
+            tuple(xs[d * i : d * i + d]),
+            tuple(ys[d * i : d * i + d]),
+        )
         for i in range(n)
     ]
     return out[0] if single else out

@@ -159,6 +159,85 @@ def add_g1_pallas(spec: FpSpec, b3_val: int, p1, p2, blk: int):
     return out
 
 
+# -- G1 mixed addition (affine second operand) ---------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _add_mixed_kernel(spec: FpSpec, blk: int):
+    """Projective + affine (Z2 = 1) RCB complete addition, a = 0.
+
+    Substituting Z2 = 1 into the full formula: t2 = Z1,
+    t4 = Y1 + Y2*Z1, t5 = X1 + X2*Z1 — 13 CIOS multiplies (vs 14) and no
+    Z2 plane in HBM.  Affine infinity is encoded (0, 0) (y = 0 never
+    occurs for odd-order subgroup points); those lanes pass X1/Y1/Z1
+    through unchanged.  Bounds: t4/t5 < 4p lazy (tighter than the full
+    add's 6p); everything else per the full-add ledger.
+    """
+    L = spec.n_limbs
+    n0 = int(spec.n0inv)
+
+    def kernel(c_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+               x3_ref, y3_ref, z3_ref):
+        p_c = c_ref[:, 0 * blk : 1 * blk]
+        twop = c_ref[:, 1 * blk : 2 * blk]
+        fourp = c_ref[:, 2 * blk : 3 * blk]
+        b3 = c_ref[:, 3 * blk : 4 * blk]
+        X1, Y1, Z1 = x1_ref[...], y1_ref[...], z1_ref[...]
+        X2, Y2 = x2_ref[...], y2_ref[...]
+        inf2 = jnp.all(Y2 == 0, axis=0, keepdims=True)
+
+        mul = lambda a, b: cios(a, b, p_c, n0, L)
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        m3 = mul(X1 + Y1, X2 + Y2)
+        t3 = _ksub(m3, t0 + t1, fourp, L)  # X1Y2+X2Y1 < 6p
+        t4 = Y1 + mul(Y2, Z1)  # < 4p lazy
+        t5 = X1 + mul(X2, Z1)  # < 4p lazy
+        t0t = t0 + t0 + t0  # 3*X1X2 < 6p lazy
+        t2b = mul(Z1, b3)
+        t5b = mul(t5, b3)
+        Z3s = t1 + t2b  # < 4p lazy
+        t1m = _ksub(t1, t2b, twop, L)  # < 4p exact
+        w0 = mul(t4, t5b)
+        w1 = mul(t3, t1m)
+        w2 = mul(t5b, t0t)
+        w3 = mul(t1m, Z3s)
+        w4 = mul(t0t, t3)
+        w5 = mul(Z3s, t4)
+        X3 = _ksub(w1, w0, twop, L)  # < 4p
+        Y3 = w3 + w2  # < 4p lazy
+        Z3 = w5 + w4  # < 4p lazy
+        x3_ref[...] = jnp.where(inf2, X1, _cond_sub2p(X3, twop, L))
+        y3_ref[...] = jnp.where(inf2, Y1, _cond_sub2p(Y3, twop, L))
+        z3_ref[...] = jnp.where(inf2, Z1, _cond_sub2p(Z3, twop, L))
+
+    return kernel
+
+
+def add_mixed_g1_pallas(spec: FpSpec, b3_val: int, p1, xy2, blk: int):
+    """(X1,Y1,Z1) + affine (X2,Y2) on [L, N] coords, blk | N.
+
+    xy2 = (X2, Y2) with infinity encoded (0, 0); coords < 2p in, < 2p
+    exact out."""
+    L, N = p1[0].shape
+    grid = (N // blk,)
+    cspec = pl.BlockSpec((L, 4 * blk), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    flops_est = 13 * 4 * L * L * N
+    return pl.pallas_call(
+        _add_mixed_kernel(spec, blk),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, N), jnp.uint32) for _ in range(3)
+        ),
+        grid=grid,
+        in_specs=[cspec] + [bspec] * 5,
+        out_specs=(bspec, bspec, bspec),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est, bytes_accessed=8 * L * N * 4, transcendentals=0
+        ),
+    )(jnp.asarray(_consts_np(spec, b3_val, blk)), *p1, *xy2)
+
+
 # -- G2 (Fp2 coordinates) ------------------------------------------------------
 
 
@@ -299,6 +378,108 @@ def _consts_g2_np(spec: FpSpec, nr: int, b3_val, blk: int) -> np.ndarray:
     return np.concatenate(
         [np.broadcast_to(c[:, None], (L, blk)) for c in arr], axis=1
     ).copy()  # [L, 7*blk]
+
+
+@functools.lru_cache(maxsize=None)
+def _add_mixed_g2_kernel(spec: FpSpec, nr: int, blk: int):
+    """Projective + affine RCB complete addition over Fq2 (Z2 = 1):
+    13 Fp2 multiplies, no Z2 plane; same ledger as the full G2 kernel.
+    Affine infinity encoded Y2 = (0, 0)."""
+    L = spec.n_limbs
+    n0 = int(spec.n0inv)
+    assert 1 <= abs(nr) <= 16
+
+    def kernel(c_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+               x3_ref, y3_ref, z3_ref):
+        cc = lambda i: c_ref[:, i * blk : (i + 1) * blk]
+        p_c, twop, fourp, eightp, nr2p, b3c0, b3c1 = (cc(i) for i in range(7))
+        consts = {"2p": twop, "4p": fourp, "8p": eightp}
+        mulp = lambda a, b: cios(a, b, p_c, n0, L)
+
+        def f2mul(a, b):
+            a0, a1 = a
+            b0, b1 = b
+            v00 = mulp(a0, b0)
+            v11 = mulp(a1, b1)
+            v01 = mulp(a0, b1)
+            v10 = mulp(a1, b0)
+            t = _small_chain(v11, abs(nr))
+            if nr < 0:
+                c0 = _ksub(v00, t, nr2p, L)
+            else:
+                c0 = v00 + t
+            c0 = _reduce_chain(c0, 2 + 2 * abs(nr), consts, L)
+            c1 = _cond_sub_m(v01 + v10, twop, L)
+            return (c0, c1)
+
+        def f2pair(r):
+            return (r[:, 0], r[:, 1])
+
+        X1, Y1, Z1 = (f2pair(r[...]) for r in (x1_ref, y1_ref, z1_ref))
+        X2, Y2 = (f2pair(r[...]) for r in (x2_ref, y2_ref))
+        inf2 = jnp.all((Y2[0] | Y2[1]) == 0, axis=0)[None, None, :]
+        b3 = (b3c0, b3c1)
+
+        def f2add(a, b):
+            return (a[0] + b[0], a[1] + b[1])
+
+        def f2ksub(a, b, kp):
+            return (_ksub(a[0], b[0], kp, L), _ksub(a[1], b[1], kp, L))
+
+        t0 = f2mul(X1, X2)
+        t1 = f2mul(Y1, Y2)
+        m3 = f2mul(f2add(X1, Y1), f2add(X2, Y2))
+        t3 = f2ksub(m3, f2add(t0, t1), fourp)  # < 6p
+        t4 = f2add(Y1, f2mul(Y2, Z1))  # < 4p lazy
+        t5 = f2add(X1, f2mul(X2, Z1))  # < 4p lazy
+        t0t = (t0[0] + t0[0] + t0[0], t0[1] + t0[1] + t0[1])
+        t2b = f2mul(Z1, b3)
+        t5b = f2mul(t5, b3)
+        Z3s = f2add(t1, t2b)
+        t1m = f2ksub(t1, t2b, twop)
+        w0 = f2mul(t4, t5b)
+        w1 = f2mul(t3, t1m)
+        w2 = f2mul(t5b, t0t)
+        w3 = f2mul(t1m, Z3s)
+        w4 = f2mul(t0t, t3)
+        w5 = f2mul(Z3s, t4)
+        X3 = f2ksub(w1, w0, twop)
+        Y3 = f2add(w3, w2)
+        Z3 = f2add(w5, w4)
+
+        def out(ref, v, keep):
+            new = jnp.stack(
+                [_cond_sub_m(v[0], twop, L), _cond_sub_m(v[1], twop, L)],
+                axis=1,
+            )
+            ref[...] = jnp.where(inf2, keep, new)
+
+        out(x3_ref, X3, x1_ref[...])
+        out(y3_ref, Y3, y1_ref[...])
+        out(z3_ref, Z3, z1_ref[...])
+
+    return kernel
+
+
+def add_mixed_g2_pallas(spec: FpSpec, nr: int, b3_val, p1, xy2, blk: int):
+    """(X1,Y1,Z1) + affine (X2,Y2) on [L, 2, N] Fp2 coords, blk | N."""
+    L, _, N = p1[0].shape
+    grid = (N // blk,)
+    cspec = pl.BlockSpec((L, 7 * blk), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, 2, blk), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    flops_est = 13 * 4 * 4 * L * L * N
+    return pl.pallas_call(
+        _add_mixed_g2_kernel(spec, nr, blk),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, 2, N), jnp.uint32) for _ in range(3)
+        ),
+        grid=grid,
+        in_specs=[cspec] + [bspec] * 5,
+        out_specs=(bspec, bspec, bspec),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est, bytes_accessed=16 * L * N * 4, transcendentals=0
+        ),
+    )(jnp.asarray(_consts_g2_np(spec, nr, b3_val, blk)), *p1, *xy2)
 
 
 def add_g2_pallas(spec: FpSpec, nr: int, b3_val, p1, p2, blk: int):

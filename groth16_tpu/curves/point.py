@@ -42,11 +42,19 @@ Point = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (X, Y, Z)
 
 
 class CurveDevice:
-    def __init__(self, k, b3):
-        """k: FpOps | Fp2Ops; b3: 3*b curve constant (int or (c0,c1))."""
+    def __init__(self, k, b3, a=0):
+        """k: FpOps | Fp2Ops | Fp3Ops; b3: 3*b curve constant (int or
+        tower tuple); a: curve coefficient (0 for every pairing family
+        except MNT — a != 0 routes `add` to the generic-a complete
+        formula, eprint 2015/1060 algorithm 1)."""
         self.k = k
         self.b3_val = b3
         self.b3 = k.const(b3)
+        self.a_val = a
+        self.a_is_zero = (
+            a == 0 or (isinstance(a, tuple) and all(c == 0 for c in a))
+        )
+        self.a_c = None if self.a_is_zero else k.const(a)
 
     # -- constructors --------------------------------------------------------
 
@@ -97,9 +105,12 @@ class CurveDevice:
         from groth16_tpu.config import CONFIG, pallas_enabled
 
         k = self.k
-        if not pallas_enabled():
+        if not pallas_enabled() or not self.a_is_zero:
             return None
-        is_fp2 = k.coord_ndim == 2
+        deg = getattr(k, "tower_deg", 1)
+        if deg == 3:
+            return None
+        is_fp2 = deg == 2
         if is_fp2 and not (1 <= abs(getattr(k, "nr_int", 0)) <= 16):
             return None
         shapes = {x.shape for x in p1} | {x.shape for x in p2}
@@ -145,6 +156,8 @@ class CurveDevice:
         <= 16p^2; t3/t4/t5 < 6p; t0t < 6p; M2 <= 6p^2; Z3s/t1m < 4p;
         M3 products <= 36p^2; X3/Y3/Z3 pre-reduce < 4p.
         """
+        if not self.a_is_zero:
+            return self._add_general(p1, p2)
         fused = self._fused_add(p1, p2)
         if fused is not None:
             return fused
@@ -184,6 +197,59 @@ class CurveDevice:
         X3, Y3, Z3 = k.reduce2p_many([X3, Y3, Z3], bound_k=4)
         return (X3, Y3, Z3)
 
+    def _add_general(self, p1: Point, p2: Point) -> Point:
+        """Complete addition for arbitrary a (RCB algorithm 1 of eprint
+        2015/1060): 12 generic multiplies + 3 mul-by-a + 2 mul-by-b3,
+        stacked into 4 limb-engine calls.  Serves the MNT families
+        (a = 2 / 11) on device — the reference reaches these through
+        ark-mnt4/6-298 (/root/reference/Cargo.toml:35-36).
+
+        Value ledger (multiples of p): xy/xz/yz < 6p; d < 4p;
+        X3t/Z3t < 6p; e < 8p; t2m < 4p; f < 4p; round-4 products
+        <= 48 p^2 (< 64 p^2 budget); outputs < 4p pre-reduce.
+        """
+        k = self.k
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        t0, t1, t2, m3, m4, m5 = k.mul_many(
+            [
+                (X1, X2),
+                (Y1, Y2),
+                (Z1, Z2),
+                (X1 + Y1, X2 + Y2),
+                (Y1 + Z1, Y2 + Z2),
+                (X1 + Z1, X2 + Z2),
+            ]
+        )
+        xy, yz, xz = k.sub_many(
+            [(m3, t0 + t1), (m4, t1 + t2), (m5, t0 + t2)], k=4
+        )  # X1Y2+X2Y1, Y1Z2+Y2Z1, X1Z2+X2Z1; each < 6p
+        axz, b3z, az, b3xz = k.mul_many(
+            [(xz, self.a_c), (t2, self.b3), (t2, self.a_c), (xz, self.b3)]
+        )
+        d = axz + b3z  # a*xz + b3*Z1Z2, < 4p lazy
+        X3t = k.sub(t1, d, k=4)  # Y1Y2 - d, < 6p
+        Z3t = t1 + d  # Y1Y2 + d, < 6p lazy
+        e = t0 + t0 + t0 + az  # 3*X1X2 + a*Z1Z2, < 8p lazy
+        t2m = k.sub(t0, az, k=2)  # X1X2 - a*Z1Z2, < 4p
+        (at2m,) = k.mul_many([(t2m, self.a_c)])
+        f = b3xz + at2m  # b3*xz + a*(X1X2 - a*Z1Z2), < 4p lazy
+        y3a, ef, w0, xyx3, xye, yzz3 = k.mul_many(
+            [
+                (X3t, Z3t),
+                (e, f),
+                (yz, f),
+                (xy, X3t),
+                (xy, e),
+                (yz, Z3t),
+            ]
+        )
+        Y3 = y3a + ef  # < 4p lazy
+        X3 = k.sub_exact(xyx3, w0, k=2)  # < 4p
+        Z3 = yzz3 + xye  # < 4p lazy
+        X3, Y3, Z3 = k.reduce2p_many([X3, Y3, Z3], bound_k=4)
+        return (X3, Y3, Z3)
+
     def double(self, pt: Point) -> Point:
         """Complete doubling = add(P, P) (one code path, same cost)."""
         return self.add(pt, pt)
@@ -191,6 +257,68 @@ class CurveDevice:
     def add_mixed(self, p1: Point, x2, y2, inf2=None) -> Point:
         """p1 + affine(x2, y2) via the complete law."""
         return self.add(p1, self.from_affine(x2, y2, inf2))
+
+    def add_affine(self, p1: Point, xy2) -> Point:
+        """p1 + affine (x2, y2) with infinity encoded (0, 0) — the MSM
+        suffix-scan hot op.  Pallas mixed kernel (13 muls, no Z2 plane)
+        when profitable; XLA fallback = complete add of the
+        reconstructed projective point (equal mod p; representatives may
+        differ only by the usual < 2p redundancy)."""
+        x2, y2 = xy2
+        fused = self._fused_add_affine(p1, xy2)
+        if fused is not None:
+            return fused
+        k = self.k
+        inf2 = k.is_zero(y2, bound_k=2)
+        return self.add(p1, self.from_affine(x2, y2, inf2))
+
+    def _fused_add_affine(self, p1: Point, xy2):
+        from groth16_tpu.config import CONFIG, pallas_enabled
+
+        k = self.k
+        if not pallas_enabled() or not self.a_is_zero:
+            return None
+        deg = getattr(k, "tower_deg", 1)
+        if deg == 3:
+            return None
+        is_fp2 = deg == 2
+        if is_fp2 and not (1 <= abs(getattr(k, "nr_int", 0)) <= 16):
+            return None
+        shapes = {x.shape for x in p1} | {x.shape for x in xy2}
+        if len(shapes) != 1:
+            return None
+        shape = shapes.pop()
+        n = 1
+        for d in shape[k.coord_ndim :]:
+            n *= d
+        if n < CONFIG.pallas_min_elems:
+            return None
+        blk = min(CONFIG.pallas_block, n & -n)
+        if blk < 128:
+            return None
+        L = shape[0]
+        if is_fp2:
+            from groth16_tpu.curves.pallas_point import add_mixed_g2_pallas
+
+            out = add_mixed_g2_pallas(
+                k.spec,
+                k.nr_int,
+                self.b3_val,
+                tuple(x.reshape(L, 2, n) for x in p1),
+                tuple(x.reshape(L, 2, n) for x in xy2),
+                blk,
+            )
+        else:
+            from groth16_tpu.curves.pallas_point import add_mixed_g1_pallas
+
+            out = add_mixed_g1_pallas(
+                k.spec,
+                self.b3_val,
+                tuple(x.reshape(L, n) for x in p1),
+                tuple(x.reshape(L, n) for x in xy2),
+                blk,
+            )
+        return tuple(x.reshape(shape) for x in out)
 
     # -- conversions -----------------------------------------------------------
 

@@ -73,6 +73,8 @@ def _stack_map(op, items: Sequence[jnp.ndarray], cd: int) -> List:
 class FpOps:
     """Device ops for the base prime field (G1 coordinates)."""
 
+    tower_deg = 1
+
     def __init__(self, spec: FpSpec):
         self.spec = spec
         self.coord_ndim = 1  # leading dims per element: (L,)
@@ -148,6 +150,8 @@ class Fp2Ops:
     post add-chain:  c0 = a0*b0 + nr*(a1*b1), c1 = a0*b1 + a1*b0 —
     keeping every product within the 64 p^2 budget for inputs < 4p.
     """
+
+    tower_deg = 2
 
     def __init__(self, spec: FpSpec, nonresidue: int):
         self.spec = spec
@@ -311,6 +315,210 @@ class Fp2Ops:
             lambda x, y: fp.mont_mul(s, x, y), [(a0, ninv), (a1, ninv)], 1
         )
         return self._pack(c0, fp.neg(s, c1m, k=2))
+
+
+class Fp3Ops:
+    """Device ops for Fq3 = Fq[v]/(v^3 - nonresidue) (MNT6 G2
+    coordinates; SURVEY.md §2.2 "Curve groups" — the Fp3 twist tower the
+    reference instantiates via ark-mnt6-298).
+
+    Schoolbook multiplication (9 Fp products per Fp3 mul) with the
+    cubic nonresidue folded into lazy add-chains, mirroring Fp2Ops:
+      c0 = v00 + nr*(v12 + v21)
+      c1 = v01 + v10 + nr*v22
+      c2 = v02 + v11 + v20
+    All Fp products land in ONE stacked limb-engine call.  Inversion by
+    the adjugate method: a^-1 = (n0 + n1 v + n2 v^2) / N(a) with
+      n0 = a0^2 - nr*a1*a2, n1 = nr*a2^2 - a0*a1, n2 = a1^2 - a0*a2,
+      N(a) = a0*n0 + nr*(a2*n1 + a1*n2).
+    """
+
+    tower_deg = 3
+
+    def __init__(self, spec: FpSpec, nonresidue: int):
+        self.spec = spec
+        self.nr_int = nonresidue  # signed small int
+        self.nonresidue = nonresidue % spec.modulus
+        self.coord_ndim = 2  # leading dims per element: (L, 3)
+        self._nr_mont = jnp.asarray(
+            np.array(
+                int_to_limbs(spec.to_mont_int(self.nonresidue), spec.n_limbs),
+                dtype=np.uint32,
+            )
+        )
+
+    def coord_shape(self):
+        return (self.spec.n_limbs, 3)
+
+    def _pack(self, c0, c1, c2):
+        return jnp.stack([c0, c1, c2], axis=1)
+
+    def zero(self, shape=()):
+        return fp.zeros(self.spec, (3,) + tuple(shape))
+
+    def one(self, shape=()):
+        z = fp.zeros(self.spec, shape)
+        return self._pack(fp.const(self.spec, 1, shape), z, z)
+
+    def const(self, value, shape=()):
+        """value: int (embeds Fp) or (c0, c1, c2) triple."""
+        if isinstance(value, tuple):
+            c0, c1, c2 = value
+        else:
+            c0, c1, c2 = value, 0, 0
+        return self._pack(
+            fp.const(self.spec, c0, shape),
+            fp.const(self.spec, c1, shape),
+            fp.const(self.spec, c2, shape),
+        )
+
+    # lazy ops: componentwise over the stacked axis
+    def add(self, a, b):
+        return fp.add(self.spec, a, b)
+
+    def dbl(self, a):
+        return a + a
+
+    def mul_small(self, a, k: int):
+        return _mul_small(self, a, k)
+
+    def sub(self, a, b, k: int = 2):
+        return fp.sub(self.spec, a, b, k=k)
+
+    def sub_exact(self, a, b, k: int = 2):
+        return fp.sub_exact(self.spec, a, b, k=k)
+
+    def sub_many(self, pairs, k: int = 2):
+        return _stack_run(lambda a, b: fp.sub(self.spec, a, b, k=k), pairs, 2)
+
+    def neg(self, a, k: int = 2):
+        return fp.neg(self.spec, a, k=k)
+
+    def reduce2p_many(self, items, bound_k: int = 4):
+        return _stack_map(
+            lambda x: fp.reduce_to_2p(self.spec, x, bound_k=bound_k), items, 2
+        )
+
+    def mul_many(self, pairs):
+        """Inputs: values < 4p.  Outputs: < 2p, exact digits."""
+        s = self.spec
+        nr = self.nr_int
+        fp_pairs = []
+        for a, b in pairs:
+            a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+            b0, b1, b2 = b[:, 0], b[:, 1], b[:, 2]
+            fp_pairs += [
+                (a0, b0), (a1, b2), (a2, b1),  # -> c0
+                (a0, b1), (a1, b0), (a2, b2),  # -> c1
+                (a0, b2), (a1, b1), (a2, b0),  # -> c2
+            ]
+        outs = _stack_run(lambda x, y: fp.mont_mul(s, x, y), fp_pairs, 1)
+        res = []
+        for i in range(len(pairs)):
+            (v00, v12, v21, v01, v10, v22,
+             v02, v11, v20) = outs[9 * i : 9 * i + 9]
+            c2 = v02 + v11 + v20  # < 6p lazy
+            if abs(nr) <= 16:
+                t0 = _fp_mul_small_lazy(v12 + v21, abs(nr))  # < 4|nr| p
+                t1 = _fp_mul_small_lazy(v22, abs(nr))  # < 2|nr| p
+                if nr < 0:
+                    c0 = fp.sub(s, v00, t0, k=4 * abs(nr))
+                    c1 = fp.sub(s, v01 + v10, t1, k=2 * abs(nr))
+                    k0, k1 = 2 + 4 * abs(nr), 4 + 2 * abs(nr)
+                else:
+                    c0 = v00 + t0
+                    c1 = v01 + v10 + t1
+                    k0, k1 = 2 + 4 * abs(nr), 4 + 2 * abs(nr)
+            else:
+                w0, w1 = _stack_run(
+                    lambda x, y: fp.mont_mul(s, x, y),
+                    [(v12 + v21, self._nr_mont), (v22, self._nr_mont)],
+                    1,
+                )
+                c0 = v00 + w0
+                c1 = v01 + v10 + w1
+                k0, k1 = 4, 6
+            c0, c1, c2 = (
+                fp.reduce_to_2p(s, c0, bound_k=max(4, k0)),
+                fp.reduce_to_2p(s, c1, bound_k=max(4, k1)),
+                fp.reduce_to_2p(s, c2, bound_k=6),
+            )
+            res.append(self._pack(c0, c1, c2))
+        return res
+
+    def mul(self, a, b):
+        return self.mul_many([(a, b)])[0]
+
+    def sqr(self, a):
+        return self.mul_many([(a, a)])[0]
+
+    def is_zero(self, a, bound_k: int = 8):
+        z = fp.is_zero(self.spec, a, bound_k=bound_k)  # [3, *batch]
+        return jnp.logical_and(jnp.logical_and(z[0], z[1]), z[2])
+
+    def select(self, mask, a, b):
+        return jnp.where(mask, a, b)
+
+    def _adjugate(self, a):
+        """(n0, n1, n2, norm) per the class docstring; all < 2p exact."""
+        s = self.spec
+        nr = self.nr_int
+        a0, a1, a2 = a[:, 0], a[:, 1], a[:, 2]
+        t0, t1, t2, t3, t4, t5 = _stack_run(
+            lambda x, y: fp.mont_mul(s, x, y),
+            [(a0, a0), (a1, a1), (a2, a2), (a0, a1), (a0, a2), (a1, a2)],
+            1,
+        )
+
+        def nr_mul(v, bound):  # v < bound*p -> nr*v, (lazy_val, bound)
+            if abs(nr) <= 16:
+                return _fp_mul_small_lazy(v, abs(nr)), bound * abs(nr)
+            assert self.nonresidue is not None
+            return fp.mont_mul(s, v, self._nr_mont), 2
+
+        w5, k5 = nr_mul(t5, 2)
+        w2, k2 = nr_mul(t2, 2)
+        sign = -1 if (abs(nr) <= 16 and nr < 0) else 1
+        if sign < 0:
+            n0 = fp.reduce_to_2p(s, t0 + w5, bound_k=2 + k5)
+            n1 = fp.neg(s, fp.reduce_to_2p(s, w2 + t3, bound_k=2 + k2), k=2)
+        else:
+            n0 = fp.reduce_to_2p(s, fp.sub(s, t0, w5, k=k5), bound_k=2 + k5)
+            n1 = fp.reduce_to_2p(s, fp.sub(s, w2, t3, k=2), bound_k=k2 + 2)
+        n2 = fp.reduce_to_2p(s, fp.sub(s, t1, t4, k=2), bound_k=4)
+        m0, m1, m2 = _stack_run(
+            lambda x, y: fp.mont_mul(s, x, y),
+            [(a0, n0), (a2, n1), (a1, n2)],
+            1,
+        )
+        wn, kn = nr_mul(m1 + m2, 4)
+        if sign < 0:
+            norm = fp.reduce_to_2p(s, fp.sub(s, m0, wn, k=kn), bound_k=2 + kn)
+        else:
+            norm = fp.reduce_to_2p(s, m0 + wn, bound_k=2 + kn)
+        return n0, n1, n2, norm
+
+    def inv(self, a):
+        s = self.spec
+        n0, n1, n2, norm = self._adjugate(a)
+        ninv = fp.inv(s, norm)
+        c0, c1, c2 = _stack_run(
+            lambda x, y: fp.mont_mul(s, x, y),
+            [(n0, ninv), (n1, ninv), (n2, ninv)],
+            1,
+        )
+        return self._pack(c0, c1, c2)
+
+    def batch_inv(self, a):
+        s = self.spec
+        n0, n1, n2, norm = self._adjugate(a)
+        ninv = fp.batch_inv(s, norm)
+        c0, c1, c2 = _stack_run(
+            lambda x, y: fp.mont_mul(s, x, y),
+            [(n0, ninv), (n1, ninv), (n2, ninv)],
+            1,
+        )
+        return self._pack(c0, c1, c2)
 
 
 def _fp_mul_small_lazy(a, n: int):

@@ -117,18 +117,24 @@ def encode(values, spec: FpSpec, mont: bool = True) -> np.ndarray:
     L = spec.n_limbs
     p, R = spec.modulus, spec.R
     nbits = LIMB_BITS * L
-    nbytes = (nbits + 7) // 8
-    buf = bytearray(n * nbytes)
-    for i, v in enumerate(values):
-        v = v % p
-        if mont:
-            v = v * R % p
-        buf[i * nbytes : (i + 1) * nbytes] = v.to_bytes(nbytes, "little")
-    u8 = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, nbytes)
-    bits = np.unpackbits(u8, axis=1, bitorder="little")[:, :nbits]
-    bits = bits.reshape(n, L, LIMB_BITS).astype(np.uint32)
-    weights = (1 << np.arange(LIMB_BITS, dtype=np.uint32))
-    return (bits * weights).sum(axis=2, dtype=np.uint32).T.copy()
+    # 2 spare bytes so every 15-bit field can be read as an aligned-free
+    # 3-byte little-endian window
+    nbytes = (nbits + 7) // 8 + 2
+    if mont:
+        buf = b"".join((v * R % p).to_bytes(nbytes, "little") for v in values)
+    else:
+        buf = b"".join((v % p).to_bytes(nbytes, "little") for v in values)
+    u8 = np.frombuffer(buf, dtype=np.uint8).reshape(n, nbytes).astype(np.uint32)
+    out = np.empty((L, n), dtype=np.uint32)
+    for i in range(L):
+        byte0, sh = divmod(LIMB_BITS * i, 8)
+        window = (
+            u8[:, byte0]
+            | (u8[:, byte0 + 1] << 8)
+            | (u8[:, byte0 + 2] << 16)
+        )
+        out[i] = (window >> sh) & LIMB_MASK
+    return out
 
 
 def decode(arr: np.ndarray, spec: FpSpec, mont: bool = True):
@@ -138,14 +144,33 @@ def decode(arr: np.ndarray, spec: FpSpec, mont: bool = True):
     Accepts lazy/redundant digit encodings (any u32 digits)."""
     arr = np.asarray(arr, dtype=np.uint64)
     flat = arr.reshape(arr.shape[0], -1)
+    L, n = flat.shape
     p = spec.modulus
     rinv = pow(spec.R, p - 2, p) if mont else 1
+    # resolve lazy u32 digits to exact 15-bit digits with a vectorized
+    # carry pass (carry < 2^17 stays exact in u64)
+    digits = np.empty((L + 2, n), dtype=np.uint64)
+    carry = np.zeros(n, dtype=np.uint64)
+    for i in range(L):
+        acc = flat[i] + carry
+        digits[i] = acc & LIMB_MASK
+        carry = acc >> LIMB_BITS
+    digits[L] = carry & LIMB_MASK
+    digits[L + 1] = carry >> LIMB_BITS
+    # pack exact digits into little-endian bytes (3-byte windows never
+    # collide once digits are exact: OR is carry-free)
+    nbytes = (LIMB_BITS * (L + 2) + 7) // 8 + 2
+    u8 = np.zeros((n, nbytes), dtype=np.uint32)
+    for i in range(L + 2):
+        byte0, sh = divmod(LIMB_BITS * i, 8)
+        window = digits[i].astype(np.uint32) << sh
+        u8[:, byte0] |= window & 0xFF
+        u8[:, byte0 + 1] |= (window >> 8) & 0xFF
+        u8[:, byte0 + 2] |= (window >> 16) & 0xFF
+    buf = u8.astype(np.uint8).tobytes()
     out = []
-    for j in range(flat.shape[1]):
-        v = 0
-        for i in range(flat.shape[0] - 1, -1, -1):
-            v = (v << LIMB_BITS) + int(flat[i, j])
-        v %= p
+    for j in range(n):
+        v = int.from_bytes(buf[j * nbytes : (j + 1) * nbytes], "little") % p
         if mont:
             v = v * rinv % p
         out.append(v)

@@ -145,12 +145,30 @@ def msm_device_lanes(
             jnp.concatenate([p, i], axis=-1) for p, i in zip(points, inf)
         )
 
+    # element-major AFFINE planes for the sorted gather: rows of
+    # 2*ce contiguous u32 words gather at memory bandwidth, where
+    # minor-axis element gathers do not; affine infinity (incl. the
+    # padding) is encoded (0, 0) — the mixed-add identity.  Inputs are
+    # affine uploads (Z in {0, 1}), so (X, Y) need no normalization
+    # beyond the infinity re-encode.
+    ce = 1
+    for d in g.k.coord_shape():
+        ce *= d
+    inf_mask = g.is_infinity(points)  # [lanes, npad]
+    zero_xy = g.k.zero((lanes, npad))
+    x_aff = g.k.select(inf_mask, zero_xy, points[0])
+    y_aff = g.k.select(inf_mask, zero_xy, points[1])
+    em = jnp.concatenate(
+        [
+            jnp.moveaxis(x_aff.reshape(ce, lanes, npad), 0, -1),
+            jnp.moveaxis(y_aff.reshape(ce, lanes, npad), 0, -1),
+        ],
+        axis=-1,
+    )  # [lanes, npad, 2*ce]
+
     # window grouping: wg windows per pass across ALL lanes, sized so the
     # gathered point copies stay within the HBM budget
-    coord_elems = 1
-    for d in g.k.coord_shape():
-        coord_elems *= d
-    bytes_per_window = lanes * npad * coord_elems * 3 * 4
+    bytes_per_window = lanes * npad * ce * 3 * 4
     wg = max(
         1,
         min(num_windows, CONFIG.msm_group_bytes // max(1, bytes_per_window)),
@@ -181,12 +199,13 @@ def msm_device_lanes(
         jnp.arange(wg, dtype=jnp.int32)[None, :, None], (lanes, wg, B - 1)
     )
     cd = g.k.coord_ndim
+    cs = g.k.coord_shape()
 
     from groth16_tpu.msm.scans import (
         _pick_chunks,
         _roll,
         scan_points,
-        scan_storage,
+        scan_storage_mixed,
     )
 
     C = _pick_chunks(npad, 4096)  # noqa: shared across groups
@@ -203,12 +222,15 @@ def msm_device_lanes(
         order_t = jnp.swapaxes(
             order.reshape(lanes, wg, C, K), -1, -2
         ).reshape(lanes, wg, npad)
-        ob = order_t.reshape((1,) * cd + order_t.shape)
-        pts = tuple(
-            jnp.take_along_axis(x[..., :, None, :], ob, axis=-1)
-            for x in points
-        )  # [*coords, lanes, wg, npad] step-major storage
-        within_t, totals = scan_storage(g, pts, K, C, reverse=True)
+        # element-major row gather (contiguous 2*ce-word rows), then one
+        # bulk transpose back to limb-major for the scan kernels
+        rows = jnp.take_along_axis(
+            em[:, None, :, :], order_t[..., None], axis=2
+        )  # [lanes, wg, npad, 2*ce]
+        back = jnp.moveaxis(rows, -1, 0)  # [2*ce, lanes, wg, npad]
+        xg = back[:ce].reshape(cs + (lanes, wg, npad))
+        yg = back[ce:].reshape(cs + (lanes, wg, npad))
+        within_t, totals = scan_storage_mixed(g, (xg, yg), K, C, reverse=True)
         # suffix scan over chunk totals (1/K of the data): classic path
         cross_incl = scan_points(g, totals, reverse=True, max_chunks=512)
         cross_excl = _roll(cross_incl, -1)

@@ -175,6 +175,41 @@ def scan_storage(g: CurveDevice, pts_T: Point, K: int, C: int,
     return out, acc
 
 
+def scan_storage_mixed(g: CurveDevice, xy_T, K: int, C: int,
+                       reverse: bool = False):
+    """Within-chunk inclusive scan in step-major storage over AFFINE
+    rows (infinity encoded (0, 0)) — the mixed-addition variant of
+    scan_storage: each step is one projective+affine complete add
+    (13 muls, no Z2 plane in HBM).  Returns (within_T projective
+    [.., N], chunk totals [.., C])."""
+    x_T, y_T = xy_T
+    cd = g.k.coord_ndim
+    lead = x_T.shape[cd:-1]
+
+    def body(i, carry):
+        acc, out = carry
+        k = K - 1 - i if reverse else i
+        start = k * C
+        row = tuple(
+            jax.lax.dynamic_slice_in_dim(x, start, C, axis=-1)
+            for x in (x_T, y_T)
+        )
+        acc = g.add_affine(acc, row)
+        out = tuple(
+            jax.lax.dynamic_update_slice_in_dim(o, a, start, axis=-1)
+            for o, a in zip(out, acc)
+        )
+        return (acc, out)
+
+    shape3 = x_T.shape[:-1] + (x_T.shape[-1],)
+    init = (
+        g.infinity(lead + (C,)),
+        tuple(jnp.zeros(shape3, x_T.dtype) for _ in range(3)),
+    )
+    acc, out = jax.lax.fori_loop(0, K, body, init)
+    return out, acc
+
+
 def reduce_points(g: CurveDevice, pts: Point) -> Point:
     """Sum an [N] point batch to a single point: K contiguous-slice
     accumulation steps to C partials, then recurse (tail reduced by

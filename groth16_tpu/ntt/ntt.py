@@ -60,7 +60,7 @@ def powers_device(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def powers(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
-    """Cached device-resident power table.
+    """Cached device-resident power table (any n >= 1).
 
     Built even when first requested inside a jit trace
     (ensure_compile_time_eval), so the cache always holds concrete
@@ -68,8 +68,9 @@ def powers(spec: FpSpec, base: int, n: int) -> jnp.ndarray:
     zero-arg program: compile-time-eval otherwise executes the doubling
     loop op-by-op, which is pathological over a high-latency device
     tunnel."""
+    n2 = 1 << (n - 1).bit_length()  # doubling builds pow2 lengths
     with jax.ensure_compile_time_eval():
-        fn = jax.jit(lambda: powers_device(spec, base, n))
+        fn = jax.jit(lambda: powers_device(spec, base, n2)[:, :n])
         return jax.block_until_ready(fn())
 
 
@@ -84,13 +85,9 @@ def _bitrev_perm(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _dif_tables(n: int):
-    """Per-stage gather tables for the in-place DIF network.
-
-    Stage s has block size m = n>>s, half h = m/2, in-block position
-    q = j mod m.  Position j pairs with j±h; the lower half takes u+v,
-    the upper half takes (u - v) * root^((q-h) * 2^s).
-    Returns (mask[log,n] bool lower-half, partner[log,n], twexp[log,n]).
-    """
+    """Per-stage gather tables for the in-place DIF network (the
+    compact-graph CPU path of _ntt_core; see _ntt_core_slices for the
+    index derivation)."""
     log_n = n.bit_length() - 1
     j = np.arange(n, dtype=np.int32)
     masks, partners, twexps = [], [], []
@@ -102,11 +99,54 @@ def _dif_tables(n: int):
         masks.append(lower)
         partners.append(np.where(lower, j + h, j - h).astype(np.int32))
         twexps.append(np.where(lower, 0, (q - h) << s).astype(np.int32))
-    return (
-        np.stack(masks),
-        np.stack(partners),
-        np.stack(twexps),
-    )
+    return np.stack(masks), np.stack(partners), np.stack(twexps)
+
+
+def _ntt_core_gather(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.ndarray:
+    """O(1)-graph DIF core: one masked full-width butterfly iterated by
+    lax.fori_loop with per-stage gather tables.  Bit-identical to
+    _ntt_core_slices; kept for the CPU backend, where the unrolled
+    slice core compiles slowly and gathers are cheap."""
+    n = a.shape[-1]
+    log_n = n.bit_length() - 1
+    masks, partners, twexps = _dif_tables(n)
+    masks_d = jnp.asarray(masks)
+    partners_d = jnp.asarray(partners)
+    twexps_d = jnp.asarray(twexps)
+
+    def stage(s, x):
+        part = jnp.take(x, partners_d[s], axis=-1)
+        tw = jnp.take(root_powers, twexps_d[s], axis=-1)
+        sum_ = fp.cond_sub(spec, x + part, spec.two_p_limbs)
+        diff = fp.mont_mul(spec, fp.sub(spec, part, x, k=2), tw)
+        return fp.select(masks_d[s], sum_, diff)
+
+    return jax.lax.fori_loop(0, log_n, stage, a)
+
+
+_SPLIT_H = 512  # phase-A/B layout switch (half-block lane-tile threshold)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_storage_perm(n: int, m0: int) -> np.ndarray:
+    """Gather table composing phase B's [m0, B] storage transpose with
+    the final DIF bit reversal: out[k] = a_flat[storage(bitrev(k))]."""
+    B = n // m0
+    rev = _bitrev_perm(n)
+    return ((rev % m0) * B + rev // m0).astype(np.int32)
+
+
+def _stage_twiddles(spec: FpSpec, root_powers: jnp.ndarray):
+    """Per-DIF-stage twiddle vectors, sliced once from the n-entry power
+    table: stage s (block m = n>>s, half h = m/2) multiplies its upper
+    half by root^((q-h)*2^s), q-h in [0, h) — i.e. every 2^s-th power.
+    Total storage = sum_s h_s = n - 1 elements."""
+    n = root_powers.shape[-1]
+    out = []
+    for s in range(n.bit_length() - 1):
+        h = n >> (s + 1)
+        out.append(root_powers[:, :: 1 << s][:, :h])
+    return out
 
 
 def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.ndarray:
@@ -114,32 +154,167 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
     and out.
 
     a: uint32[L, ..., n]; root_powers: [L, n] table (pass inverse-root
-    powers for the inverse transform).  One masked full-width butterfly
-    body is compiled and iterated log2(n) times via lax.fori_loop.
+    powers for the inverse transform).
+
+    Every stage touches only CONTIGUOUS half-block slices — no data
+    gathers (minor-axis gathers run far below HBM bandwidth on TPU): the
+    element axis is viewed as [blocks, m]; lower output = u + v, upper
+    output = (u - v) * tw with tw a per-stage slice of the power table
+    broadcast across blocks.  The log2(n) stages are unrolled (shapes
+    differ per stage); each is O(1) wide primitives.
     """
     n = a.shape[-1]
     log_n = n.bit_length() - 1
     if log_n == 0:
         return a
-    masks, partners, twexps = _dif_tables(n)
-    masks_d = jnp.asarray(masks)
-    partners_d = jnp.asarray(partners)
-    twexps_d = jnp.asarray(twexps)
+    from groth16_tpu.config import pallas_enabled
 
-    def stage(s, x):
-        # invariant: stage inputs/outputs < 2p, exact digits
-        part = jnp.take(x, partners_d[s], axis=-1)
-        tw = jnp.take(root_powers, twexps_d[s], axis=-1)
-        sum_ = fp.cond_sub(spec, x + part, spec.two_p_limbs)
-        diff = fp.mont_mul(spec, fp.sub(spec, part, x, k=2), tw)
-        return fp.select(masks_d[s], sum_, diff)
+    if not pallas_enabled():
+        a = _ntt_core_gather(spec, a, root_powers)
+        return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-1)
+    lead = a.shape[:-1]
+    nb = len(lead) - 1  # middle batch dims between limb and element axes
+    tws = _stage_twiddles(spec, root_powers)
 
-    a = jax.lax.fori_loop(0, log_n, stage, a)
-    return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-1)
+    # Phase A — large blocks (half-block h wide enough to fill lane
+    # tiles): butterflies slice the minor axis, viewed [.., blocks, m].
+    split = 0
+    for s in range(log_n):
+        m = n >> s
+        h = m >> 1
+        if h < _SPLIT_H and n // m >= _SPLIT_H:
+            break
+        split = s + 1
+        x = a.reshape(lead + (n // m, m))
+        u = x[..., :h]
+        v = x[..., h:]
+        tw = tws[s].reshape(tws[s].shape[:1] + (1,) * (nb + 1) + (h,))
+        sum_ = fp.cond_sub(spec, u + v, spec.two_p_limbs)
+        diff = fp.mont_mul(spec, fp.sub(spec, u, v, k=2), tw)
+        a = jnp.concatenate([sum_, diff], axis=-1).reshape(lead + (n,))
+
+    if split == log_n:
+        return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-1)
+
+    # Phase B — small blocks: one bulk transpose to [.., m, B] puts the
+    # big block count B on the lane axis; butterflies now slice the
+    # LEADING in-block axis (contiguous slabs, full lane width) instead
+    # of producing [.., B, h<tile] shapes that waste 7/8 of every tile.
+    m0 = n >> split
+    B = n // m0
+    a = jnp.swapaxes(a.reshape(lead + (B, m0)), -1, -2)  # [.., m0, B]
+    for s in range(split, log_n):
+        m = n >> s
+        h = m >> 1
+        x = a.reshape(lead + (m0 // m, m, B))
+        u = x[..., :h, :]
+        v = x[..., h:, :]
+        tw = tws[s].reshape(tws[s].shape[:1] + (1,) * (nb + 1) + (h, 1))
+        sum_ = fp.cond_sub(spec, u + v, spec.two_p_limbs)
+        diff = fp.mont_mul(spec, fp.sub(spec, u, v, k=2), tw)
+        a = jnp.concatenate([sum_, diff], axis=-2).reshape(lead + (m0, B))
+    # output element j = b*m0 + q sits at storage q*B + b; compose that
+    # transpose with the DIF bit-reversal in one final gather
+    a = a.reshape(lead + (n,))
+    return jnp.take(a, jnp.asarray(_bitrev_storage_perm(n, m0)), axis=-1)
+
+
+def _odd_radixes(n: int):
+    """Odd prime radix sequence of n (largest first, for lane-friendly
+    early stages) and the power-of-two tail M: n = prod(radixes) * M."""
+    radixes = []
+    m = n
+    for q in (7, 5, 3):
+        while m % q == 0:
+            radixes.append(q)
+            m //= q
+    assert m & (m - 1) == 0, f"non-smooth NTT size {n}"
+    return tuple(radixes), m
+
+
+@functools.lru_cache(maxsize=None)
+def _mixed_storage_perm(n: int, radixes, M: int) -> np.ndarray:
+    """Final gather composing the odd-stage DIF digit placement with the
+    natural-order radix-2 block transforms: out[k] = storage[perm[k]]
+    where k = r0 + q0*(r1 + q1*(... + k_sub)) lands at storage
+    sum_i r_i * (n / prod_{j<=i} q_j) + k_sub."""
+    k = np.arange(n, dtype=np.int64)
+    rem = k
+    base = np.zeros(n, dtype=np.int64)
+    div = n
+    for q in radixes:
+        r = rem % q
+        rem = rem // q
+        div //= q
+        base += r * div
+    return (base + rem).astype(np.int32)
+
+
+def _ntt_core_mixed(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray,
+                    radixes, sub_powers: jnp.ndarray) -> jnp.ndarray:
+    """Mixed-radix DIF NTT along the trailing element axis; natural
+    order in and out.  The odd prime factors (7/5/3) are peeled first as
+    generalized DIF stages over CONTIGUOUS slices — radix-q butterfly
+    y_r = (sum_j W_q^{jr} u_j) * w_m^{r t} with W_q columns sliced from
+    the n-entry power table and stage twiddles as strided slices (no
+    index wrap: r*t*(n/m) < n) — leaving n/M independent radix-2
+    transforms of the power-of-two tail M, which run through _ntt_core
+    with the blocks as a batch axis.  Mirrors the exact engine's
+    recursive Cooley-Tukey (ref/domain.py:_ct_ntt; reference consumes
+    this through ark-poly's MixedRadixEvaluationDomain for the
+    low-2-adicity MNT fields, SURVEY.md §2.2).
+
+    Ledger: stage inputs < 2p exact; y_r pre-twiddle < 2q*p lazy; the
+    twiddle product bound 4q*p^2 <= 28 p^2 < 64 p^2; r = 0 lanes are
+    value-reduced back to < 2p.
+    """
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    m = n
+    for q in radixes:
+        h = m // q
+        B = n // m
+        x = a.reshape(lead + (B, q, h))
+        us = [x[..., j, :] for j in range(q)]
+        ys = []
+        for r in range(q):
+            acc = us[0]
+            for j in range(1, q):
+                w = root_powers[:, (n // q) * j * r % n][
+                    (slice(None),) + (None,) * (len(lead) + 1)
+                ]
+                acc = acc + fp.mont_mul(spec, us[j], w)
+            if r == 0:
+                y = fp.reduce_to_2p(spec, acc, bound_k=2 * q)
+            else:
+                st = (n // m) * r
+                tw = root_powers[:, ::st][:, :h]
+                tw = tw.reshape(tw.shape[:1] + (1,) * (len(lead)) + (h,))
+                y = fp.mont_mul(spec, acc, tw)
+            ys.append(y)
+        a = jnp.stack(ys, axis=-2).reshape(lead + (n,))
+        m = h
+    M = m
+    a = _ntt_core(spec, a.reshape(lead + (n // M, M)), sub_powers)
+    a = a.reshape(lead + (n,))
+    if not radixes:
+        return a
+    perm = jnp.asarray(_mixed_storage_perm(n, radixes, M))
+    return jnp.take(a, perm, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ntt_core_mixed(spec: FpSpec, radixes):
+    return jax.jit(
+        lambda a, rp, sp: _ntt_core_mixed(spec, a, rp, radixes, sp)
+    )
 
 
 class NttDomain:
-    """Evaluation domain of size n (power of two) over field `field`.
+    """Evaluation domain of size n over field `field`: radix-2 when the
+    field's 2-adicity allows, else the smallest 2^a*3^b*5^c*7^d smooth
+    size (the MNT6 regime — mirrors ref/domain.py / ark-poly
+    GeneralEvaluationDomain rounding).
 
     Mirrors RefDomain (groth16_tpu/ref/domain.py) semantics on device.
     Tables are device-resident and cached per (field, n).
@@ -151,16 +326,36 @@ class NttDomain:
         while n < num_coeffs:
             n <<= 1
             log_n += 1
-        if log_n > field.two_adicity:
-            raise ValueError("PolynomialDegreeTooLarge")
         self.field = field
         self.spec = make_spec(field.modulus, name=field.name)
-        self.size = n
-        self.log_size = log_n
         p = field.modulus
-        self.group_gen = pow(field.two_adic_root_of_unity, 1 << (field.two_adicity - log_n), p)
+        if log_n <= field.two_adicity:
+            self.size = n
+            self.log_size = log_n
+            # group_gen = 2-adic root ^ (2^(s - log_n))
+            self.group_gen = pow(
+                field.two_adic_root_of_unity,
+                1 << (field.two_adicity - log_n),
+                p,
+            )
+            self.radixes = ()
+        else:
+            from groth16_tpu.ref.domain import _element_of_order, _smooth_sizes
+
+            cands = [
+                m
+                for m in _smooth_sizes(p - 1, field.two_adicity)
+                if m >= num_coeffs
+            ]
+            if not cands:
+                raise ValueError("PolynomialDegreeTooLarge")
+            m = cands[0]
+            self.size = m
+            self.log_size = m.bit_length() - 1  # informational only
+            self.group_gen = _element_of_order(p, m)
+            self.radixes, _ = _odd_radixes(m)
         self.group_gen_inv = pow(self.group_gen, p - 2, p)
-        self.size_inv = pow(n, p - 2, p)
+        self.size_inv = pow(self.size, p - 2, p)
 
     # -- cached device tables ------------------------------------------------
 
@@ -175,6 +370,23 @@ class NttDomain:
     def _offset_powers(self, offset: int) -> jnp.ndarray:
         return powers(self.spec, offset, self.size)
 
+    def _sub_powers(self, root: int) -> jnp.ndarray:
+        """Power table of root^(odd part) for the radix-2 tail."""
+        P = 1
+        for q in self.radixes:
+            P *= q
+        p = self.field.modulus
+        return powers(self.spec, pow(root, P, p), self.size // P)
+
+    def _core(self, a: jnp.ndarray, fwd: bool) -> jnp.ndarray:
+        root_powers = self._fwd_powers if fwd else self._inv_powers
+        if not self.radixes:
+            return _jitted_ntt_core(self.spec)(a, root_powers)
+        root = self.group_gen if fwd else self.group_gen_inv
+        return _jitted_ntt_core_mixed(self.spec, self.radixes)(
+            a, root_powers, self._sub_powers(root)
+        )
+
     # -- transforms ------------------------------------------------------------
 
     def fft(self, coeffs: jnp.ndarray, offset: int = 1) -> jnp.ndarray:
@@ -185,11 +397,11 @@ class NttDomain:
         assert a.shape[-1] == self.size
         if offset != 1:
             a = _jitted_mul(spec)(a, self._offset_powers(offset))
-        return _jitted_ntt_core(spec)(a, self._fwd_powers)
+        return self._core(a, fwd=True)
 
     def ifft(self, evals: jnp.ndarray, offset: int = 1) -> jnp.ndarray:
         spec = self.spec
-        a = _jitted_ntt_core(spec)(evals, self._inv_powers)
+        a = self._core(evals, fwd=False)
         a = _jitted_mul(spec)(a, fp.const(spec, self.size_inv, (1,)))
         if offset != 1:
             p = self.field.modulus

@@ -148,6 +148,18 @@ class ShardedProver:
         self.dpk.g1_msm_points = shard_elements(
             self.mesh, self.dpk.g1_msm_points, axis
         )
+        # b_g2_tail is uploaded unpadded (its MSM length is nv_tail, not
+        # n_pad); round it up to a mesh-divisible length BEFORE the
+        # sharded placement — the in-jit pad then no-ops
+        from groth16_tpu.curves import codec as _codec
+        from groth16_tpu.protocol.device_keys import _pad_points
+
+        n2 = self.dpk.b_g2_tail[2].shape[-1]
+        n2_pad = -(-n2 // S) * S
+        if n2_pad != n2:
+            self.dpk.b_g2_tail = _pad_points(
+                self.dpk.b_g2_tail, n2_pad, _codec.g2_ops(self.c)
+            )
         self.dpk.b_g2_tail = shard_elements(
             self.mesh, self.dpk.b_g2_tail, axis
         )
@@ -220,8 +232,9 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
     n2 = rho_std.shape[-1]
     n2_pad = -(-n2 // S) * S
     g2_pts = dpk.b_g2_tail
-    if n2_pad != n2:
-        inf = g2.infinity((n2_pad - n2,))
+    npts = g2_pts[2].shape[-1]  # may be pre-padded at upload
+    if npts != n2_pad:
+        inf = g2.infinity((n2_pad - npts,))
         g2_pts = tuple(
             jnp.concatenate([a, b], axis=-1) for a, b in zip(g2_pts, inf)
         )
