@@ -187,18 +187,15 @@ class ShardedProver:
         return decode_proof_arrays(self.curve, out)
 
 
-def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
-                   r_bits, s_bits, rs_bits):
-    c = get_curve(curve)
-    fr = make_spec(c.r, name=f"{curve}.Fr")
-    g1 = codec.g1_ops(c)
-    g2 = codec.g2_ops(c)
-    sbits = c.r.bit_length()
-    num_inputs = dpk.num_inputs
+def _g1_scalar_stack(fr, mesh, axis, dpk: DeviceProvingKey, z_mont,
+                     num_inputs):
+    """Witness map + standard-form scalar prep for the 4-lane G1 MSM
+    (prover.rs:63-113 scalar assembly).  Returns (scalars4 [4, Ls, n_pad]
+    sharded on the element axis, rho_std [Ls, nv_tail])."""
     sntt = ShardedNtt(dpk.domain, mesh, axis)
-
     h_mont = witness_map_sharded(
-        fr, sntt, dpk.mats, z_mont, num_inputs, dpk.num_constraints, mesh, axis
+        fr, sntt, dpk.mats, z_mont, num_inputs, dpk.num_constraints, mesh,
+        axis,
     )
     h_std = fp.from_mont(fr, h_mont)
     z_std = fp.from_mont(fr, z_mont)
@@ -221,6 +218,20 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
         axis=0,
     )
     scalars4 = jax.lax.with_sharding_constraint(scalars4, shard2)
+    return scalars4, rho_std
+
+
+def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
+                   r_bits, s_bits, rs_bits):
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    g1 = codec.g1_ops(c)
+    g2 = codec.g2_ops(c)
+    sbits = c.r.bit_length()
+    num_inputs = dpk.num_inputs
+    scalars4, rho_std = _g1_scalar_stack(
+        fr, mesh, axis, dpk, z_mont, num_inputs
+    )
     acc4 = msm_sharded_lanes(g1, dpk.g1_msm_points, scalars4, sbits, mesh, axis)
     a_acc = tuple(x[..., 0] for x in acc4)
     b1_acc = tuple(x[..., 1] for x in acc4)
