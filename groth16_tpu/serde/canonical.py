@@ -403,3 +403,90 @@ def deserialize_proving_key(data: bytes, curve: str, compress: bool = True,
     if r.read(1):
         raise SerializationError("trailing bytes")
     return pk
+
+
+# -- GT elements / prepared verifying key ----------------------------------
+
+
+def _flatten_ext(el) -> List[int]:
+    """Depth-first Fp coefficient dump of a nested tower element — the
+    order ark-serialize's QuadExtField/CubicExtField derives produce
+    (c0 first, recursively)."""
+    if isinstance(el, tuple):
+        out: List[int] = []
+        for x in el:
+            out.extend(_flatten_ext(x))
+        return out
+    return [el]
+
+
+def _unflatten_ext(template, it):
+    if isinstance(template, tuple):
+        return tuple(_unflatten_ext(t, it) for t in template)
+    return next(it)
+
+
+def _gt_template(curve: str):
+    """A GT identity element carrying the curve family's tower nesting
+    (Fp12 for BLS/BN ate; Fp4/Fp6 for the Tate families)."""
+    from groth16_tpu.ref.pairing import make_pairing
+
+    pair = make_pairing(curve)
+    if hasattr(pair, "k12"):
+        return pair.k12.one()
+    return pair.kgt_one()
+
+
+def ser_gt(el, c: CurveParams) -> bytes:
+    """GT element -> bytes: recursive c0||c1(||c2) little-endian Fp dump
+    (data_structures.rs:90 `alpha_g1_beta_g2: E::TargetField`).  For the
+    BLS/BN Fp12 tower this is the ark layout; the Tate families (BW6,
+    MNT) use this engine's own Kh[v] tower basis — a stable internal
+    format (cache/transport), not ark-ec's GT basis."""
+    return b"".join(_ser_fp(v, c.p) for v in _flatten_ext(el))
+
+
+def de_gt(r: io.BytesIO, c: CurveParams, template):
+    n = _nbytes(c.p)
+    count = len(_flatten_ext(template))
+    vals = iter(
+        _de_fp(r.read(n), c.p, False)[0] for _ in range(count)
+    )
+    return _unflatten_ext(template, vals)
+
+
+def serialize_prepared_verifying_key(pvk, compress: bool = True) -> bytes:
+    """PreparedVerifyingKey -> bytes (data_structures.rs:88-97 field
+    order: vk, alpha_g1_beta_g2, gamma/delta negations).  The reference
+    stores the negations as G2Prepared line coefficients; this engine's
+    pairing computes lines on the fly, so plain affine points are the
+    prepared form — deserialization performs NO pairing (the cached
+    e(alpha, beta) is the point of the type)."""
+    c = get_curve(pvk.vk.curve)
+    return (
+        serialize_verifying_key(pvk.vk, compress)
+        + ser_gt(pvk.alpha_g1_beta_g2, c)
+        + ser_g2(pvk.gamma_g2_neg, c, compress)
+        + ser_g2(pvk.delta_g2_neg, c, compress)
+    )
+
+
+def deserialize_prepared_verifying_key(
+    data: bytes, curve: str, compress: bool = True, validate: bool = True
+):
+    from groth16_tpu.protocol.data_structures import PreparedVerifyingKey
+
+    c = get_curve(curve)
+    r = io.BytesIO(data)
+    vk = _de_vk(r, c, curve, compress, validate)
+    gt = de_gt(r, c, _gt_template(curve))
+    gamma_g2_neg = de_g2(r, c, compress, validate)
+    delta_g2_neg = de_g2(r, c, compress, validate)
+    if r.read(1):
+        raise SerializationError("trailing bytes")
+    return PreparedVerifyingKey(
+        vk=vk,
+        alpha_g1_beta_g2=gt,
+        gamma_g2_neg=gamma_g2_neg,
+        delta_g2_neg=delta_g2_neg,
+    )
