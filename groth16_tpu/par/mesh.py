@@ -19,6 +19,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def axis_size(mesh: Mesh, axis) -> int:
+    """Devices along `axis` — a name or a tuple of names (a 2D
+    host×chip mesh passes axis=("host", "chip") to shard the element
+    axis across the combined extent, DCN-major so that the inner
+    collective hops ride ICI)."""
+    if isinstance(axis, (tuple, list)):
+        s = 1
+        for a in axis:
+            s *= mesh.shape[a]
+        return s
+    return mesh.shape[axis]
+
+
 def make_mesh(
     n_devices: Optional[int] = None, axis: str = DATA_AXIS
 ) -> Mesh:
@@ -26,6 +39,20 @@ def make_mesh(
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh_2d(
+    n_hosts: int,
+    chips_per_host: int,
+    axes: tuple = ("host", "chip"),
+) -> Mesh:
+    """Multi-host mesh (BASELINE config 5): outer axis = hosts (DCN),
+    inner axis = chips within a host (ICI).  Collectives taking the
+    combined axis tuple split traffic hierarchically; passing
+    axis=axes to ShardedProver/ShardedNtt shards elements over all
+    n_hosts * chips_per_host devices."""
+    devs = jax.devices()[: n_hosts * chips_per_host]
+    return Mesh(np.array(devs).reshape(n_hosts, chips_per_host), axes)
 
 
 def shard_elements(mesh: Mesh, x, axis: str = DATA_AXIS):

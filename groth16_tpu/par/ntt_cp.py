@@ -28,7 +28,7 @@ from jax.sharding import PartitionSpec as P
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import FpSpec, encode
 from groth16_tpu.ntt.ntt import NttDomain, _ntt_core, powers
-from groth16_tpu.par.mesh import DATA_AXIS
+from groth16_tpu.par.mesh import DATA_AXIS, axis_size
 
 
 def _transpose_a2a(x: jnp.ndarray, axis: str) -> jnp.ndarray:
@@ -73,7 +73,7 @@ class ShardedNtt:
         self.spec = domain.spec
         n = domain.size
         log_n = domain.log_size
-        S = mesh.shape[axis]
+        S = axis_size(mesh, axis)
         n1 = 1 << ((log_n + 1) // 2)
         n2 = n // n1
         assert n1 % S == 0 and n2 % S == 0, (

@@ -28,7 +28,7 @@ from groth16_tpu.curves.params import get_curve
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import encode, make_spec
 from groth16_tpu.msm.pippenger import msm_device_lanes
-from groth16_tpu.par.mesh import DATA_AXIS, make_mesh
+from groth16_tpu.par.mesh import DATA_AXIS, axis_size, make_mesh
 from groth16_tpu.par.ntt_cp import ShardedNtt
 from groth16_tpu.protocol.data_structures import Proof, ProvingKey
 from groth16_tpu.protocol.device_keys import DeviceProvingKey, upload_proving_key
@@ -53,7 +53,7 @@ def msm_sharded_lanes(
     batch (lanes,) (replicated).  One local lane-batched Pippenger per
     shard, then an all_gather of the S partials and a log2(S) halving
     combine."""
-    S = mesh.shape[axis]
+    S = axis_size(mesh, axis)
     assert scalars.shape[-1] % S == 0
 
     def local(pts, sc):
@@ -137,7 +137,7 @@ class ShardedProver:
         self.curve = pk.vk.curve
         self.c = get_curve(self.curve)
         self.fr = make_spec(self.c.r, name=f"{self.curve}.Fr")
-        S = self.mesh.shape[axis]
+        S = axis_size(self.mesh, axis)
         self.dpk = upload_proving_key(pk, matrices, pad_multiple=S)
         # place the large query tensors sharded over the mesh element
         # axis at upload time (SURVEY.md §5.4: PKs for 2^24 constraints
@@ -239,7 +239,7 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
     l_aux_acc = tuple(x[..., 3] for x in acc4)
 
     # G2 MSM: single lane, padded to a shardable length
-    S = mesh.shape[axis]
+    S = axis_size(mesh, axis)
     n2 = rho_std.shape[-1]
     n2_pad = -(-n2 // S) * S
     g2_pts = dpk.b_g2_tail
