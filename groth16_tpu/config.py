@@ -32,6 +32,12 @@ class EngineConfig:
     pallas_block: int = 512
     # Pippenger window override (None = analytic chooser).
     msm_window_bits: Optional[int] = None
+    # Signed-digit (wNAF-style) windows: digits recoded into
+    # [-2^(c-1), 2^(c-1)] so the bucket tail halves, letting the chooser
+    # take a wider window (fewer scan passes).  Negation rides the
+    # gather index (a second y-negated copy of the element-major plane),
+    # costing HBM capacity, not bandwidth.
+    msm_signed_digits: bool = True
     # HBM budget for one window-group's gathered point copies (the MSM
     # batches windows into groups; ~3x this is the peak extra footprint).
     msm_group_bytes: int = 3 << 28  # 768 MiB

@@ -9,10 +9,18 @@ so the traced graph holds O(1) point-adds regardless of N and window
 count.
 
 Per c-bit window w:
-  1. digit_i = bits [cw, cw+c) of scalar_i (standard-form 15-bit limbs).
-  2. Sort point indices by digit ascending (u32 key sort + one gather).
+  1. digit_i = bits [cw, cw+c) of scalar_i (standard-form 15-bit limbs);
+     with CONFIG.msm_signed_digits the digits are recoded to
+     [-2^(c-1), 2^(c-1)] (one extra carry window), halving the bucket
+     tail so the window chooser takes c one bit wider — negation rides
+     the gather index into a second y-negated element-major plane.
+  2. Sort point indices by digit ascending.  When digit+sign+index fit
+     one u32 the sort key packs all three, so the sorted keys double as
+     the searchsorted operand AND the gather index (half the sorted
+     bytes, no payload array).
   3. Two-level suffix scan (msm/scans.py): within-chunk `lax.scan` +
-     Hillis-Steele across chunk totals — ~N vectorized point-adds.
+     Hillis-Steele across chunk totals — ~N vectorized point-adds, each
+     a 13-mul mixed (projective+affine) complete add.
   4. Pippenger identity  sum_d d*S_d = sum_{v=1}^{B-1} G_v  where
      G_v = sum of points with digit >= v = suffix-scan value at
      searchsorted(digits, v): a B-point gather, no scatter, no
@@ -46,16 +54,19 @@ from groth16_tpu.fields.spec import LIMB_BITS
 from groth16_tpu.msm.scans import reduce_points
 
 
-def choose_window_bits(n: int, scalar_bits: int) -> int:
-    """Minimize windows*(n + KB*2^c) over c in [4, 16].
+def choose_window_bits(n: int, scalar_bits: int, signed: bool = False) -> int:
+    """Minimize windows*(n + KB*buckets) over c in [4, 16].
 
     KB weights the bucket tail (gather + reduce of B points) against one
     suffix-scan add; measured ~6x on the fused-kernel path (the tail's
-    narrow reduce levels run below full device width)."""
+    narrow reduce levels run below full device width).  Signed digits
+    halve the bucket count (magnitudes in [0, 2^(c-1)]) at the price of
+    one carry window, so the chooser usually lands one bit wider."""
     best_c, best_cost = 4, None
     for c in range(4, 17):
-        windows = -(-scalar_bits // c)
-        cost = windows * (n + 6 * (1 << c))
+        windows = -(-scalar_bits // c) + (1 if signed else 0)
+        buckets = (1 << (c - 1)) if signed else (1 << c)
+        cost = windows * (n + 6 * buckets)
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -78,6 +89,28 @@ def all_window_digits(scalars: jnp.ndarray, c: int, scalar_bits: int) -> jnp.nda
     return jnp.stack(
         [window_digits(scalars, c, w) for w in range(num_windows)], axis=0
     )
+
+
+def signed_window_digits(scalars: jnp.ndarray, c: int, scalar_bits: int):
+    """Signed-digit recode: scalar = sum_w (-1)^{s_w} m_w 2^{cw} with
+    magnitudes m_w in [0, 2^(c-1)].  Low-to-high carry pass: a raw digit
+    d + carry > 2^(c-1) becomes 2^c - d (negated) with carry 1; the
+    final carry lands in one extra top window (always non-negative).
+    Returns (mags, signs): each [ceil(scalar_bits/c) + 1, N] uint32."""
+    num_windows = -(-scalar_bits // c)
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    carry = jnp.zeros_like(scalars[0])
+    mags, signs = [], []
+    for w in range(num_windows):
+        d = window_digits(scalars, c, w) + carry  # <= 2^c
+        neg = d > half
+        mags.append(jnp.where(neg, full - d, d))
+        signs.append(neg.astype(jnp.uint32))
+        carry = neg.astype(jnp.uint32)
+    mags.append(carry)
+    signs.append(jnp.zeros_like(carry))
+    return jnp.stack(mags, axis=0), jnp.stack(signs, axis=0)
 
 
 def _pad_size(n: int) -> int:
@@ -130,16 +163,29 @@ def msm_device_lanes(
     """
     lanes, Ls, n = scalars.shape
     assert g.batch_shape(points) == (lanes, n)
-    c = window_bits or CONFIG.msm_window_bits or choose_window_bits(n, scalar_bits)
-    num_windows = -(-scalar_bits // c)
-    B = 1 << c
+    signed = CONFIG.msm_signed_digits
+    c = window_bits or CONFIG.msm_window_bits or choose_window_bits(
+        n, scalar_bits, signed
+    )
+    if signed:
+        num_windows = -(-scalar_bits // c) + 1  # +1: recode carry window
+        B = (1 << (c - 1)) + 1  # magnitudes 0..2^(c-1)
+        digits_all, signs_all = jax.vmap(
+            lambda s: signed_window_digits(s, c, scalar_bits)
+        )(scalars)  # each [lanes, W+1, n]
+    else:
+        num_windows = -(-scalar_bits // c)
+        B = 1 << c
+        digits_all = jax.vmap(
+            lambda s: all_window_digits(s, c, scalar_bits)
+        )(scalars)  # [lanes, W, n]
+        signs_all = None
 
     npad = _pad_size(n)
-    digits_all = jax.vmap(
-        lambda s: all_window_digits(s, c, scalar_bits)
-    )(scalars)  # [lanes, W, n]
     if npad != n:
         digits_all = jnp.pad(digits_all, ((0, 0), (0, 0), (0, npad - n)))
+        if signed:
+            signs_all = jnp.pad(signs_all, ((0, 0), (0, 0), (0, npad - n)))
         inf = g.infinity((lanes, npad - n))
         points = tuple(
             jnp.concatenate([p, i], axis=-1) for p, i in zip(points, inf)
@@ -165,6 +211,25 @@ def msm_device_lanes(
         ],
         axis=-1,
     )  # [lanes, npad, 2*ce]
+    if signed:
+        # second y-negated copy at element offset npad: a negative digit
+        # gathers row (i + npad) — the sign costs an index add, not an
+        # extra pass.  p - y is exact (< p) for real points; infinity
+        # rows stay (0, 0), the mixed-add identity sentinel.
+        negy_aff = g.k.select(inf_mask, zero_xy, g.k.neg(points[1], k=1))
+        em = jnp.concatenate(
+            [
+                em,
+                jnp.concatenate(
+                    [
+                        jnp.moveaxis(x_aff.reshape(ce, lanes, npad), 0, -1),
+                        jnp.moveaxis(negy_aff.reshape(ce, lanes, npad), 0, -1),
+                    ],
+                    axis=-1,
+                ),
+            ],
+            axis=1,
+        )  # [lanes, 2*npad, 2*ce]
 
     # window grouping: wg windows per pass across ALL lanes, sized so the
     # gathered point copies stay within the HBM budget
@@ -181,16 +246,33 @@ def msm_device_lanes(
         digits_all = jnp.pad(
             digits_all, ((0, 0), (0, w_padded - num_windows), (0, 0))
         )
+        if signed:
+            signs_all = jnp.pad(
+                signs_all, ((0, 0), (0, w_padded - num_windows), (0, 0))
+            )
     # [G, lanes, wg, npad] for the lax.scan over groups
     digits_grouped = jnp.moveaxis(
         digits_all.reshape(lanes, n_groups, wg, npad), 1, 0
     )
+    signs_grouped = (
+        jnp.moveaxis(signs_all.reshape(lanes, n_groups, wg, npad), 1, 0)
+        if signed
+        else jnp.zeros_like(digits_grouped)
+    )
+
+    # single-word sort keys when digit+sign+index fit u32: halves the
+    # sorted bytes and makes the sorted keys double as both the
+    # searchsorted operand and the gather index
+    idx_bits = max(1, (npad - 1).bit_length())
+    extra = 1 if signed else 0
+    packed = c + extra + idx_bits <= 32
+    shift = (extra + idx_bits) if packed else extra
 
     iota_b = jnp.broadcast_to(
-        jnp.arange(npad, dtype=jnp.int32), (lanes, wg, npad)
+        jnp.arange(npad, dtype=jnp.uint32), (lanes, wg, npad)
     )
     v_targets = jnp.broadcast_to(
-        jnp.arange(1, B, dtype=jnp.uint32), (lanes * wg, B - 1)
+        jnp.arange(1, B, dtype=jnp.uint32) << shift, (lanes * wg, B - 1)
     )
     l_iota = jnp.broadcast_to(
         jnp.arange(lanes, dtype=jnp.int32)[:, None, None], (lanes, wg, B - 1)
@@ -211,16 +293,36 @@ def msm_device_lanes(
     C = _pick_chunks(npad, 4096)  # noqa: shared across groups
     K = npad // C
 
-    def group_sums(digits_g) -> Point:
+    def group_sums(digits_g, signs_g) -> Point:
         """[lanes, wg, npad] digits -> per-window sums, batch (lanes, wg)."""
-        sorted_digits, order = jax.lax.sort(
-            (digits_g, iota_b), dimension=2, num_keys=1
-        )
+        if packed:
+            key = (digits_g << shift) | iota_b
+            if signed:
+                key = key | (signs_g << idx_bits)
+            sorted_keys = jax.lax.sort(key, dimension=2)
+            gidx = sorted_keys & jnp.uint32((1 << idx_bits) - 1)
+            if signed:
+                gidx = gidx + ((sorted_keys >> idx_bits) & 1) * jnp.uint32(
+                    npad
+                )
+        else:
+            key = (digits_g << extra) | signs_g if signed else digits_g
+            sorted_keys, order = jax.lax.sort(
+                (key, iota_b), dimension=2, num_keys=1
+            )
+            gidx = order
+            if signed:
+                gidx = gidx + (sorted_keys & 1) * jnp.uint32(npad)
+        # sorted_keys = digit << shift (+ lower-order sign/index bits),
+        # so first-key >= (v << shift) iff digit >= v: the keys feed
+        # searchsorted as-is.  gidx selects the (possibly y-negated)
+        # element-major row.
+        #
         # compose the step-major storage transpose (sorted position
         # j = c*K + k stored at k*C + c) into the GATHER indices — the
         # index array is transposed, never the gathered point data
         order_t = jnp.swapaxes(
-            order.reshape(lanes, wg, C, K), -1, -2
+            gidx.astype(jnp.int32).reshape(lanes, wg, C, K), -1, -2
         ).reshape(lanes, wg, npad)
         # element-major row gather (contiguous 2*ce-word rows), then one
         # bulk transpose back to limb-major for the scan kernels
@@ -238,7 +340,7 @@ def msm_device_lanes(
         cross_excl = g.select(cmask, cross_excl, g.infinity((lanes, wg, C)))
         first_ge = jax.vmap(
             lambda d, v: jnp.searchsorted(d, v, side="left")
-        )(sorted_digits.reshape(lanes * wg, npad), v_targets)
+        )(sorted_keys.reshape(lanes * wg, npad), v_targets)
         first_ge = first_ge.reshape(lanes, wg, B - 1)
         valid = first_ge < npad
         j = jnp.minimum(first_ge, npad - 1).astype(jnp.int32)
@@ -249,17 +351,21 @@ def msm_device_lanes(
             tuple(x[..., l_iota, w_iota, jc] for x in cross_excl),
         )  # batch (lanes, wg, B-1)
         gv = g.select(valid, gv, g.infinity((lanes, wg, B - 1)))
-        # pad to B (power of two) for the reduction
-        gv = tuple(
-            jnp.concatenate([x, i], axis=-1)
-            for x, i in zip(gv, g.infinity((lanes, wg, 1)))
-        )
+        # pad to a power of two for the halving reduction (signed: B-1 =
+        # 2^(c-1) already is one; unsigned: 2^c - 1 pads by one)
+        m = B - 1
+        tgt = 1 << (m - 1).bit_length()
+        if tgt != m:
+            gv = tuple(
+                jnp.concatenate([x, i], axis=-1)
+                for x, i in zip(gv, g.infinity((lanes, wg, tgt - m)))
+            )
         return reduce_points(g, gv)  # batch (lanes, wg)
 
-    def gstep(_, digits_g):
-        return None, group_sums(digits_g)
+    def gstep(_, xs):
+        return None, group_sums(*xs)
 
-    _, sums_g = jax.lax.scan(gstep, None, digits_grouped)
+    _, sums_g = jax.lax.scan(gstep, None, (digits_grouped, signs_grouped))
     # sums_g leaves: [G, *coords, lanes, wg] -> [*coords, lanes, W] rows
     # for the Horner combine (window 0 first)
     sums = tuple(

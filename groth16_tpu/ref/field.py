@@ -111,7 +111,10 @@ class Fp2Ctx:
         return (c0, c1)
 
     def sqr(self, a: Fp2El) -> Fp2El:
-        return self.mul(a, a)
+        # (a0 + a1 u)^2 = (a0^2 + nr a1^2) + 2 a0 a1 u: 2 base muls
+        p, nr = self.p, self.nr
+        t = a[0] * a[1] % p
+        return ((a[0] * a[0] + nr * a[1] * a[1]) % p, (t + t) % p)
 
     def mul_fp(self, a: Fp2El, k: int) -> Fp2El:
         p = self.p
@@ -226,7 +229,31 @@ class Fp6Ctx:
         return (c0, c1, c2)
 
     def sqr(self, a: Fp6El) -> Fp6El:
-        return self.mul(a, a)
+        # CH-SQR3: 2 muls + 3 squarings in Fp2
+        k = self.k2
+        a0, a1, a2 = a
+        s0 = k.sqr(a0)
+        ab = k.mul(a0, a1)
+        s1 = k.add(ab, ab)
+        s2 = k.sqr(k.add(k.sub(a0, a1), a2))
+        bc = k.mul(a1, a2)
+        s3 = k.add(bc, bc)
+        s4 = k.sqr(a2)
+        return (
+            k.add(s0, self.mul_by_xi(s3)),
+            k.add(s1, self.mul_by_xi(s4)),
+            k.sub(k.add(k.add(s1, s2), s3), k.add(s0, s4)),
+        )
+
+    def mul_by_01(self, a: Fp6El, b0: Fp2El, b1: Fp2El) -> Fp6El:
+        """a * (b0 + b1 v) — sparse operand (6 Fp2 muls)."""
+        k = self.k2
+        a0, a1, a2 = a
+        return (
+            k.add(k.mul(a0, b0), self.mul_by_xi(k.mul(a2, b1))),
+            k.add(k.mul(a0, b1), k.mul(a1, b0)),
+            k.add(k.mul(a1, b1), k.mul(a2, b0)),
+        )
 
     def mul_fp2(self, a: Fp6El, s: Fp2El) -> Fp6El:
         k = self.k2
@@ -286,7 +313,91 @@ class Fp12Ctx:
         return (c0, c1)
 
     def sqr(self, a: Fp12El) -> Fp12El:
-        return self.mul(a, a)
+        # complex squaring: 2 Fp6 muls
+        k6 = self.k6
+        a0, a1 = a
+        t = k6.mul(a0, a1)
+        c0 = k6.sub(
+            k6.mul(k6.add(a0, a1), k6.add(a0, k6.mul_by_v(a1))),
+            k6.add(t, k6.mul_by_v(t)),
+        )
+        return (c0, k6.add(t, t))
+
+    def mul_by_034(self, f: Fp12El, c0: Fp2El, c3: Fp2El, c4: Fp2El) -> Fp12El:
+        """f * (c0 + c3 w + c4 v w) — the sparse line shape of the
+        D-twist Miller loop (nonzero Fp2 slots 0, 3, 4 of the 6-slot
+        Fp12 basis {1, v, v^2, w, vw, v^2w})."""
+        k6 = self.k6
+        f0, f1 = f
+        t0 = k6.mul_fp2(f0, c0)
+        t1 = k6.mul_by_01(f1, c3, c4)
+        # Karatsuba cross term: (f0 + f1) * (c0 + c3 + c4 v)
+        fs = k6.add(f0, f1)
+        cross = k6.mul_by_01(fs, self.k2.add(c0, c3), c4)
+        c1 = k6.sub(k6.sub(cross, t0), t1)
+        return (k6.add(t0, k6.mul_by_v(t1)), c1)
+
+    def mul_by_045(self, f: Fp12El, c0: Fp2El, c4: Fp2El, c5: Fp2El) -> Fp12El:
+        """f * (c0 + c4 vw + c5 v^2 w) — the sparse line shape of the
+        M-twist Miller loop (w^3 = vw and w^5 = v^2 w slots; the line
+        c0 + cA w^3 + cB w^5 has no plain-w term)."""
+        k2, k6 = self.k2, self.k6
+        xi = k6.xi
+        f0, f1 = f
+        t0 = k6.mul_fp2(f0, c0)
+        # f1 * (c4 v + c5 v^2)
+        a0, a1, a2 = f1
+        t1 = (
+            k2.mul(xi, k2.add(k2.mul(a1, c5), k2.mul(a2, c4))),
+            k2.add(k2.mul(a0, c4), k2.mul(xi, k2.mul(a2, c5))),
+            k2.add(k2.mul(a0, c5), k2.mul(a1, c4)),
+        )
+        fs = k6.add(f0, f1)
+        cross = k6.mul(fs, (c0, c4, c5))
+        c1 = k6.sub(k6.sub(cross, t0), t1)
+        return (k6.add(t0, k6.mul_by_v(t1)), c1)
+
+    def cyclotomic_sqr(self, a: Fp12El) -> Fp12El:
+        """Granger-Scott squaring — valid ONLY for elements of the
+        cyclotomic subgroup (e.g. any output of the easy part of the
+        final exponentiation).  Decomposes Fp12 = Fp4[w]/(w^3 - s) with
+        Fp4 = Fp2[s]/(s^2 - xi): A=(g00,g11), B=(g10,g02), C=(g01,g12);
+        A' = 3A^2 - 2conj(A), Bw' = 3 s C^2 + 2B, C' = 3B^2 - 2conj(C).
+        Cross-checked against the generic `sqr` in tests."""
+        k2 = self.k2
+        xi = self.k6.xi
+        (g00, g01, g02), (g10, g11, g12) = a
+
+        def fp4_sqr(c0: Fp2El, c1: Fp2El):
+            # (c0 + c1 s)^2 = (c0^2 + xi c1^2) + 2 c0 c1 s
+            t0, t1 = k2.sqr(c0), k2.sqr(c1)
+            m = k2.mul(c0, c1)
+            return k2.add(t0, k2.mul(xi, t1)), k2.add(m, m)
+
+        a0, a1 = fp4_sqr(g00, g11)
+        b0, b1 = fp4_sqr(g10, g02)
+        c0, c1 = fp4_sqr(g01, g12)
+
+        def three_minus_two(t: Fp2El, g: Fp2El) -> Fp2El:
+            d = k2.sub(t, g)
+            return k2.add(k2.add(d, d), t)
+
+        def three_plus_two(t: Fp2El, g: Fp2El) -> Fp2El:
+            d = k2.add(t, g)
+            return k2.add(k2.add(d, d), t)
+
+        return (
+            (
+                three_minus_two(a0, g00),
+                three_minus_two(b0, g01),
+                three_minus_two(c0, g02),
+            ),
+            (
+                three_plus_two(k2.mul(xi, c1), g10),
+                three_plus_two(a1, g11),
+                three_plus_two(b1, g12),
+            ),
+        )
 
     def conj(self, a: Fp12El) -> Fp12El:
         """conjugation = Frobenius^6: negate the w component."""
@@ -406,7 +517,19 @@ class Fp3Ctx:
         return (c0, c1, c2)
 
     def sqr(self, a: Fp3El) -> Fp3El:
-        return self.mul(a, a)
+        # CH-SQR3: 5 base muls
+        p, nr = self.p, self.nr
+        a0, a1, a2 = a
+        s0 = a0 * a0 % p
+        s1 = 2 * a0 * a1 % p
+        s2 = (a0 - a1 + a2) ** 2 % p
+        s3 = 2 * a1 * a2 % p
+        s4 = a2 * a2 % p
+        return (
+            (s0 + nr * s3) % p,
+            (s1 + nr * s4) % p,
+            (s1 + s2 + s3 - s0 - s4) % p,
+        )
 
     def mul_fp(self, a: Fp3El, k: int) -> Fp3El:
         p = self.p
@@ -489,6 +612,7 @@ class Fp6Direct3Ctx:
     def __init__(self, k3: Fp3Ctx):
         self.k3 = k3
         self.p = k3.p
+        self._frob_cache = {}
 
     def zero(self) -> Fp6D3El:
         return (self.k3.zero(), self.k3.zero())
@@ -514,7 +638,13 @@ class Fp6Direct3Ctx:
         return (c0, c1)
 
     def sqr(self, a):
-        return self.mul(a, a)
+        # (a0 + a1 v)^2 = (a0^2 + u a1^2) + 2 a0 a1 v: 3 half-field muls
+        k3 = self.k3
+        m = k3.mul(a[0], a[1])
+        return (
+            k3.add(k3.sqr(a[0]), k3.mul_by_u(k3.sqr(a[1]))),
+            k3.add(m, m),
+        )
 
     def mul_fp(self, a, k: int):
         return (self.k3.mul_fp(a[0], k), self.k3.mul_fp(a[1], k))
@@ -522,6 +652,28 @@ class Fp6Direct3Ctx:
     def conj(self, a):
         """v -> -v conjugation (the norm map to Fp3)."""
         return (a[0], self.k3.neg(a[1]))
+
+    def frobenius(self, a, power: int = 1):
+        """a^(q^power) in Kh[v]/(v^2 - u), Kh = Fq[u]/(u^d - nr):
+        u^(q^k) = u * nr^((q^k - 1)/d) and v^(q^k) = v * u^((q^k - 1)/2),
+        both precomputable (q = 1 mod d is guaranteed by u^d - nr being
+        irreducible with d | q - 1)."""
+        kh = self.k3
+        if power not in self._frob_cache:
+            q, nr = self.p, kh.nr
+            d = len(kh.zero())
+            qk = pow(q, power)
+            assert (qk - 1) % d == 0
+            ucoeffs = [pow(nr, i * ((qk - 1) // d), q) for i in range(d)]
+            u = tuple([0, 1] + [0] * (d - 2))
+            vcoef = kh.pow(u, (qk - 1) // 2)
+            self._frob_cache[power] = (ucoeffs, vcoef)
+        ucoeffs, vcoef = self._frob_cache[power]
+
+        def fr(c):
+            return tuple(ci * ui % self.p for ci, ui in zip(c, ucoeffs))
+
+        return (fr(a[0]), self.k3.mul(fr(a[1]), vcoef))
 
     def inv(self, a):
         k3 = self.k3

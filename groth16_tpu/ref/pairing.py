@@ -28,11 +28,57 @@ from groth16_tpu.ref import field as F
 from groth16_tpu.ref.curve import G1Point, G2Point
 
 
+def _frob_straus_pow(k, f, e, p, sqr):
+    """f^e via base-p Frobenius decomposition + Straus joint
+    exponentiation: e = sum_i e_i p^i, f^e = prod_i frob^i(f)^{e_i}
+    sharing one squaring chain of ~log2(p) steps.  `sqr` is the
+    squaring to use (e.g. cyclotomic).  Exact: equals k.pow(f, e)."""
+    digits = []
+    while e:
+        digits.append(e % p)
+        e //= p
+    if not digits:
+        return k.one()
+    bases = [f]
+    for i in range(1, len(digits)):
+        bases.append(k.frobenius(f, i))
+    table = [None] * (1 << len(bases))
+    for mask in range(1, len(table)):
+        low = mask & -mask
+        i = low.bit_length() - 1
+        table[mask] = (
+            bases[i] if mask == low else k.mul(table[mask ^ low], bases[i])
+        )
+    res = None
+    for bit in range(max(x.bit_length() for x in digits) - 1, -1, -1):
+        if res is not None:
+            res = sqr(res)
+        mask = 0
+        for j, dj in enumerate(digits):
+            mask |= ((dj >> bit) & 1) << j
+        if mask:
+            res = table[mask] if res is None else k.mul(res, table[mask])
+    return k.one() if res is None else res
+
+
 class RefPairing:
     def __init__(self, curve_name: str):
         self.c: CurveParams = get_curve(curve_name)
         self.k2, self.k6, self.k12 = F.towers(curve_name)
         self._w2, self._w3 = self._twist_powers()
+        p = self.c.p
+        self._two_inv = pow(2, p - 2, p)
+        # 3*b' of the twist curve (doubling-step constant)
+        b2 = self.c.b2
+        self._b2_3 = ((3 * b2[0]) % p, (3 * b2[1]) % p)
+        # Frobenius-on-the-twist coefficients (BN tail): untwist o frob =
+        # frob o pi with pi(x, y) = (conj(x) g12, conj(y) g13),
+        # pi^2(x, y) = (x g22, y g23)
+        xi = self.c.xi
+        self._g12 = self.k2.pow(xi, (p - 1) // 3)
+        self._g13 = self.k2.pow(xi, (p - 1) // 2)
+        self._g22 = self.k2.pow(xi, (p * p - 1) // 3)
+        self._g23 = self.k2.pow(xi, (p * p - 1) // 2)
 
     # -- untwist -----------------------------------------------------------
 
@@ -97,8 +143,126 @@ class RefPairing:
         return k12.sub(k12.sub(yp, y1), k12.mul(lam, k12.sub(xp, x1)))
 
     # -- Miller loop --------------------------------------------------------
+    #
+    # Fast path: homogeneous projective point arithmetic ON THE TWIST
+    # E'(Fp2) with sparse line evaluation (no Fp12 point ops, no
+    # inversions).  Each step's line is scaled by a nonzero Fp2
+    # constant relative to the affine-E(Fp12) line; subfield scalars
+    # are killed by the p^6-1 easy part of the final exponentiation,
+    # so `pairing` values are bit-identical to the affine path (the
+    # raw Miller value differs — only its class mod subfields is
+    # meaningful).  Derivation: untwist (x', y') -> (x'w^2, y'w^3)
+    # makes the tangent/chord line at P=(xp, yp) a sparse element
+    # c0 + c3 w + c4 vw with c0, c3, c4 as below.
+
+    def _dbl_step(self, t, xp: int, yp: int):
+        """Double T=(X,Y,Z) on the twist; return (T', sparse line at P).
+
+        A=XY/2, B=Y^2, C=Z^2, E=3b'C, F=3E, G=(B+F)/2, H=(Y+Z)^2-B-C,
+        I=E-B, J=X^2; T'=(A(B-F), G^2-3E^2, BH);
+        line = -H*yp + 3J*xp w + I vw."""
+        k2 = self.k2
+        X, Y, Z = t
+        A = k2.mul_fp(k2.mul(X, Y), self._two_inv)
+        B = k2.sqr(Y)
+        C = k2.sqr(Z)
+        E = k2.mul(self._b2_3, C)
+        Fv = k2.add(k2.add(E, E), E)
+        G = k2.mul_fp(k2.add(B, Fv), self._two_inv)
+        H = k2.sub(k2.sqr(k2.add(Y, Z)), k2.add(B, C))
+        I = k2.sub(E, B)
+        J = k2.sqr(X)
+        E2 = k2.sqr(E)
+        t_new = (
+            k2.mul(A, k2.sub(B, Fv)),
+            k2.sub(k2.sqr(G), k2.add(k2.add(E2, E2), E2)),
+            k2.mul(B, H),
+        )
+        negH_yp = k2.mul_fp(k2.neg(H), yp)
+        J3_xp = k2.mul_fp(k2.add(k2.add(J, J), J), xp)
+        if self.c.twist_type == "D":
+            return t_new, (negH_yp, J3_xp, I)
+        # M: line = xi*(-H yp) + I w^3 + 3J xp w^5  (slots 0, 4, 5)
+        return t_new, (k2.mul(self.c.xi, negH_yp), I, J3_xp)
+
+    def _add_step(self, t, q, xp: int, yp: int):
+        """Mixed add T + Q (Q affine on the twist); sparse line at P.
+
+        theta=Y-yq Z, lam=X-xq Z; line = lam*yp - theta*xp w +
+        (theta xq - lam yq) vw."""
+        k2 = self.k2
+        X, Y, Z = t
+        xq, yq = q
+        theta = k2.sub(Y, k2.mul(yq, Z))
+        lam = k2.sub(X, k2.mul(xq, Z))
+        Cc = k2.sqr(theta)
+        D = k2.sqr(lam)
+        E = k2.mul(lam, D)
+        Fv = k2.mul(Z, Cc)
+        G = k2.mul(X, D)
+        H = k2.sub(k2.add(E, Fv), k2.add(G, G))
+        t_new = (
+            k2.mul(lam, H),
+            k2.sub(k2.mul(theta, k2.sub(G, H)), k2.mul(E, Y)),
+            k2.mul(Z, E),
+        )
+        lam_yp = k2.mul_fp(lam, yp)
+        ntheta_xp = k2.mul_fp(k2.neg(theta), xp)
+        j = k2.sub(k2.mul(theta, xq), k2.mul(lam, yq))
+        if self.c.twist_type == "D":
+            return t_new, (lam_yp, ntheta_xp, j)
+        # M: line = xi*(lam yp) + j w^3 + (-theta xp) w^5  (slots 0, 4, 5)
+        return t_new, (k2.mul(self.c.xi, lam_yp), j, ntheta_xp)
+
+    def _sparse_line(self, c):
+        """The line coefficients as a (very) sparse Fp12 element."""
+        k2 = self.k2
+        if self.c.twist_type == "D":
+            return ((c[0], k2.zero(), k2.zero()), (c[1], c[2], k2.zero()))
+        return ((c[0], k2.zero(), k2.zero()), (k2.zero(), c[1], c[2]))
 
     def miller_loop_single(self, p: G1Point, q: G2Point) -> F.Fp12El:
+        k12 = self.k12
+        if p is None or q is None:
+            return k12.one()
+        if self.c.twist_type not in ("D", "M"):
+            return self._miller_loop_affine(p, q)
+        k2 = self.k2
+        line_mul = k12.mul_by_034 if self.c.twist_type == "D" else k12.mul_by_045
+        xp, yp = p[0] % self.c.p, p[1] % self.c.p
+        xq = (q[0][0] % self.c.p, q[0][1] % self.c.p)
+        yq = (q[1][0] % self.c.p, q[1][1] % self.c.p)
+        t = (xq, yq, k2.one())
+        f = k12.one()
+        one = True  # skip the f^2 * line mul while f == 1
+        for bit in bin(self.c.ate_loop_count)[3:]:
+            if one:
+                t, c = self._dbl_step(t, xp, yp)
+                f = self._sparse_line(c)
+                one = False
+            else:
+                f = k12.sqr(f)
+                t, c = self._dbl_step(t, xp, yp)
+                f = line_mul(f, *c)
+            if bit == "1":
+                t, c = self._add_step(t, (xq, yq), xp, yp)
+                f = line_mul(f, *c)
+        if self.c.ate_loop_is_negative:
+            f = k12.conj(f)
+            t = (t[0], k2.neg(t[1]), t[2])
+        if self.c.family == "bn":
+            q1 = (k2.mul(k2.conj(xq), self._g12), k2.mul(k2.conj(yq), self._g13))
+            nq2 = (k2.mul(xq, self._g22), k2.neg(k2.mul(yq, self._g23)))
+            t, c = self._add_step(t, q1, xp, yp)
+            f = line_mul(f, *c)
+            t, c = self._add_step(t, nq2, xp, yp)
+            f = line_mul(f, *c)
+        return f
+
+    def _miller_loop_affine(self, p: G1Point, q: G2Point) -> F.Fp12El:
+        """Affine E(Fp12) Miller loop — the slow, fully general path
+        (any twist type; also the cross-check oracle for the fast
+        path: final_exponentiation of both must agree)."""
         k12 = self.k12
         if p is None or q is None:
             return k12.one()
@@ -128,10 +292,54 @@ class RefPairing:
         return f
 
     def multi_miller_loop(self, g1s: List[G1Point], g2s: List[G2Point]) -> F.Fp12El:
+        """One shared squaring chain over all pairs (the verifier's
+        3-pair product, verifier.rs:49-60): per bit, a single f^2 then
+        one sparse line mul per pair."""
         k12 = self.k12
+        pairs = [(p, q) for p, q in zip(g1s, g2s) if p is not None and q is not None]
+        if not pairs:
+            return k12.one()
+        if self.c.twist_type not in ("D", "M"):
+            f = k12.one()
+            for p, q in pairs:
+                f = k12.mul(f, self.miller_loop_single(p, q))
+            return f
+        k2 = self.k2
+        line_mul = k12.mul_by_034 if self.c.twist_type == "D" else k12.mul_by_045
+        pp = self.c.p
+        pts = [(p[0] % pp, p[1] % pp) for p, _ in pairs]
+        qs = [((q[0][0] % pp, q[0][1] % pp), (q[1][0] % pp, q[1][1] % pp))
+              for _, q in pairs]
+        ts = [(xq, yq, k2.one()) for xq, yq in qs]
         f = k12.one()
-        for p, q in zip(g1s, g2s):
-            f = k12.mul(f, self.miller_loop_single(p, q))
+        one = True
+        for bit in bin(self.c.ate_loop_count)[3:]:
+            if not one:
+                f = k12.sqr(f)
+            for i, (xp, yp) in enumerate(pts):
+                ts[i], c = self._dbl_step(ts[i], xp, yp)
+                if one:
+                    f = self._sparse_line(c)
+                    one = False
+                else:
+                    f = line_mul(f, *c)
+            if bit == "1":
+                for i, (xp, yp) in enumerate(pts):
+                    ts[i], c = self._add_step(ts[i], qs[i], xp, yp)
+                    f = line_mul(f, *c)
+        if self.c.ate_loop_is_negative:
+            f = k12.conj(f)
+            ts = [(t[0], k2.neg(t[1]), t[2]) for t in ts]
+        if self.c.family == "bn":
+            for i, (xp, yp) in enumerate(pts):
+                xq, yq = qs[i]
+                q1 = (k2.mul(k2.conj(xq), self._g12),
+                      k2.mul(k2.conj(yq), self._g13))
+                nq2 = (k2.mul(xq, self._g22), k2.neg(k2.mul(yq, self._g23)))
+                ts[i], c = self._add_step(ts[i], q1, xp, yp)
+                f = line_mul(f, *c)
+                ts[i], c = self._add_step(ts[i], nq2, xp, yp)
+                f = line_mul(f, *c)
         return f
 
     # -- final exponentiation ------------------------------------------------
@@ -143,8 +351,17 @@ class RefPairing:
         # easy part: f^((p^6-1)(p^2+1))
         f1 = k12.mul(k12.conj(f), k12.inv(f))  # f^(p^6 - 1)
         f2 = k12.mul(k12.frobenius(f1, 2), f1)  # ^(p^2 + 1)
-        # hard part: exact cyclotomic exponent
-        return k12.pow(f2, self.c.final_exp_hard)
+        # hard part: exact cyclotomic exponent d = (p^4 - p^2 + 1)/r,
+        # via base-p Frobenius decomposition d = d0 + d1 p + d2 p^2 +
+        # d3 p^3 and a 4-base Straus joint exponentiation: f2^d =
+        # prod_i frob^i(f2)^{d_i} shares one squaring chain of
+        # len(p)-ish bits instead of len(d) ~ 4x that, and every
+        # squaring is a Granger-Scott cyclotomic squaring (f2 lies in
+        # the cyclotomic subgroup after the easy part).  Value equals
+        # k12.pow(f2, d) exactly.
+        return _frob_straus_pow(
+            k12, f2, self.c.final_exp_hard, self.c.p, k12.cyclotomic_sqr
+        )
 
     def pairing(self, p: G1Point, q: G2Point) -> F.Fp12El:
         out = self.final_exponentiation(self.miller_loop_single(p, q))
@@ -211,9 +428,11 @@ class RefPairingTate:
         yh = self.kh.mul(self._to_kh(y2), self.u_inv2)
         return xh, yh
 
-    def miller_loop_single(self, p_pt, q_pt):
+    def _miller_loop_affine(self, p_pt, q_pt):
         """f_{r, P}(untwist(Q)) — affine Miller loop over the scalar
-        field order, verticals eliminated."""
+        field order, verticals eliminated.  Slow oracle path (one Fp
+        inversion per bit); kept as the cross-check for the projective
+        fast path below."""
         c = self.c
         q = c.p
         A = c.a % q
@@ -250,18 +469,120 @@ class RefPairingTate:
                 xt, yt = x3, y3
         return f
 
+    # -- projective fast path -----------------------------------------------
+    #
+    # Homogeneous projective Miller point (no per-bit Fp inversion);
+    # every step's line is scaled by an Fp constant, which the final
+    # exponentiation kills ((q^(2d)-1)/r contains the factor q-1), so
+    # `pairing` values are bit-identical to the affine oracle.
+
+    def _dbl_step_fp(self, t, xq3, yq3):
+        """Double T=(X,Y,Z) on E(Fp); line evaluated at untwisted Q."""
+        q = self.c.p
+        X, Y, Z = t
+        W = (self.c.a * Z * Z + 3 * X * X) % q
+        S = Y * Z % q
+        B = X * Y * S % q
+        H = (W * W - 8 * B) % q
+        YS = Y * S % q
+        t_new = (
+            2 * H * S % q,
+            (W * (4 * B - H) - 8 * YS * YS) % q,
+            8 * S * S * S % q,
+        )
+        # line * 2SZ: c0 = -W(x_Q Z - X) - 2Y^2 Z,  c1 = 2SZ * y_Q
+        kh = self.kh
+        c0 = kh.add(
+            kh.mul_fp(xq3, (-W * Z) % q),
+            self._embed((W * X - 2 * Y * Y * Z) % q),
+        )
+        c1 = kh.mul_fp(yq3, 2 * S * Z % q)
+        return t_new, (c0, c1)
+
+    def _add_step_fp(self, t, p_aff, xq3, yq3):
+        """Mixed add T + P (P affine); line through P at untwisted Q.
+
+        Returns (t_new, line) — line is None (and t_new is None) when
+        the chord is vertical (adding -T: the line dies in the final
+        exponentiation and T -> O)."""
+        q = self.c.p
+        X, Y, Z = t
+        xp, yp = p_aff
+        u = (yp * Z - Y) % q
+        v = (xp * Z - X) % q
+        if v == 0:
+            if u == 0:
+                return self._dbl_step_fp(t, xq3, yq3)
+            return None, None  # vertical: T + (-T) = O
+        v2 = v * v % q
+        v3 = v2 * v % q
+        A_ = (u * u * Z - v3 - 2 * v2 * X) % q
+        t_new = (
+            v * A_ % q,
+            (u * (v2 * X - A_) - v3 * Y) % q,
+            v3 * Z % q,
+        )
+        # line * v: c0 = -u(x_Q - xp) - v yp,  c1 = v y_Q
+        kh = self.kh
+        c0 = kh.add(
+            kh.mul_fp(xq3, (-u) % q),
+            self._embed((u * xp - v * yp) % q),
+        )
+        c1 = kh.mul_fp(yq3, v)
+        return t_new, (c0, c1)
+
     def multi_miller_loop(self, g1s, g2s):
-        f = self.kgt.one()
-        for p_pt, q_pt in zip(g1s, g2s):
-            if p_pt is None or q_pt is None:
-                continue
-            f = self.kgt.mul(f, self.miller_loop_single(p_pt, q_pt))
-        return f
+        """f_{r,P_i}(untwist(Q_i)) product over one shared squaring
+        chain (the verifier's 3-pair product)."""
+        kgt = self.kgt
+        pairs = [
+            (p, q) for p, q in zip(g1s, g2s)
+            if p is not None and q is not None
+        ]
+        if not pairs:
+            return kgt.one()
+        uq = [self.untwist(qp) for _, qp in pairs]
+        ts = [(p[0] % self.c.p, p[1] % self.c.p, 1) for p, _ in pairs]
+        ps = [t[:2] for t in ts]
+        f = None
+        for b in bin(self.c.r)[3:]:
+            if f is not None:
+                f = kgt.sqr(f)
+            for i, (xq3, yq3) in enumerate(uq):
+                if ts[i] is None:
+                    continue
+                ts[i], line = self._dbl_step_fp(ts[i], xq3, yq3)
+                f = line if f is None else kgt.mul(f, line)
+            if b == "1":
+                for i, (xq3, yq3) in enumerate(uq):
+                    if ts[i] is None:
+                        # O + P = P; the vertical line at P dies
+                        ts[i] = (ps[i][0], ps[i][1], 1)
+                        continue
+                    ts[i], line = self._add_step_fp(
+                        ts[i], ps[i], xq3, yq3
+                    )
+                    if line is not None:
+                        f = line if f is None else kgt.mul(f, line)
+        return kgt.one() if f is None else f
+
+    def miller_loop_single(self, p_pt, q_pt):
+        return self.multi_miller_loop([p_pt], [q_pt])
 
     def final_exponentiation(self, f):
-        if f == self.kgt.zero():
+        """f^((q^(2d)-1)/r), split as (q^d-1) * ((q^d+1)/r): the easy
+        part is one conjugate-times-inverse (Frobenius^d is v -> -v),
+        the hard part a base-q Frobenius-Straus exponentiation.  The
+        exponent equals `self.final_exp` exactly, so GT values are
+        unchanged from the generic-pow path."""
+        kgt = self.kgt
+        if f == kgt.zero():
             return None
-        return self.kgt.pow(f, self.final_exp)
+        f1 = kgt.mul(kgt.conj(f), kgt.inv(f))  # ^(q^d - 1)
+        q = self.c.p
+        hard = (q**self.d + 1) // self.c.r
+        assert hard * self.c.r == q**self.d + 1
+        return _frob_straus_pow(kgt, f1, hard, q, kgt.sqr)
 
     def pairing(self, p_pt, q_pt):
         if p_pt is None or q_pt is None:

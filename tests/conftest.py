@@ -27,8 +27,20 @@ elif _platform == "auto":
     # there than on the single-core CPU backend); fall back to the
     # 8-virtual-device CPU mesh.  Sharding tests self-skip when fewer
     # than 8 devices are visible — run them with GROTH16_TEST_PLATFORM=cpu.
+    #
+    # The probe runs in a SUBPROCESS with a hard timeout: when the axon
+    # tunnel is down, in-process `jax.devices()` blocks forever inside
+    # `make_c_api_client` (C call — uninterruptible), which would hang
+    # the whole suite before collecting a single test.
+    import subprocess
+
     try:
-        jax.devices()
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=int(os.environ.get("GROTH16_TPU_PROBE_TIMEOUT_S", "90")),
+            check=True,
+            capture_output=True,
+        )
     except Exception:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)

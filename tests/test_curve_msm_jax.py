@@ -189,3 +189,38 @@ def test_g2_add_fused_batch_vs_exact(env):
     B = codec.g2_to_device(c, qts)
     got = codec.g2_from_device(c, g, jax.jit(g.add)(A, B))
     assert got == [ref.g2_add(x, y) for x, y in zip(pts, qts)]
+
+
+@pytest.mark.parametrize("signed", [True, False])
+@pytest.mark.parametrize("wbits", [3, 9])
+def test_msm_digit_mode_matrix(env, signed, wbits):
+    """Signed-digit recode x packed-sort-key regimes (pippenger.py
+    group_sums): wbits=3 at n=64 exercises multi-window carries with
+    small buckets; wbits=9 makes c + 1 + idx_bits straddle the packed
+    key budget only in one mode.  All four cells must equal the exact
+    engine."""
+    from groth16_tpu.config import configure
+    from groth16_tpu.fields.spec import make_spec
+
+    c, ref = env
+    g = codec.g1_ops(c)
+    fr = make_spec(c.r)
+    n = 64
+    r = random.Random(23)
+    pts = _g1_points(ref, n, seed=11)
+    pts[0] = None
+    scalars = [r.randrange(c.r) for _ in range(n)]
+    scalars[1] = 0
+    scalars[2] = c.r - 1  # max scalar: full carry chain in signed mode
+    P = codec.g1_to_device(c, pts)
+    S = codec.scalars_to_device(scalars, fr)
+
+    with configure(msm_signed_digits=signed):
+        fn = jax.jit(
+            lambda P, S: msm_device(g, P, S, c.r.bit_length(), wbits)
+        )
+        got = codec.g1_from_device(c, g, fn(P, S))
+
+    exact = JacobianOps(FpCtx(c.p))
+    expect = exact.to_affine(exact.msm(pts, scalars))
+    assert got == expect
