@@ -3,6 +3,12 @@
 Checks e(A,B) * e(g_ic, -gamma) * e(C, -delta) == e(alpha, beta) via one
 3-pair multi-Miller loop + final exponentiation (verifier.rs:44-65), with
 g_ic = gamma_abc[0] + sum_i x_i * gamma_abc[i+1] (verifier.rs:25-39).
+
+Dispatch: the native C++ host engine (groth16_tpu.native) runs the
+pairing product and the g_ic accumulation for BN/BLS12 curves (~50x the
+Python exact engine; bit-identical — tests/test_native_verify.py); the
+Python engine is the fallback for the Tate families and when native is
+disabled (GROTH16_TPU_NO_NATIVE=1).
 """
 
 from __future__ import annotations
@@ -10,6 +16,7 @@ from __future__ import annotations
 from typing import List
 
 from groth16_tpu.curves.params import get_curve
+from groth16_tpu.native import native_pairing
 from groth16_tpu.protocol.data_structures import (
     PreparedVerifyingKey,
     Proof,
@@ -21,14 +28,18 @@ from groth16_tpu.ref.pairing import make_pairing
 
 def prepare_verifying_key(vk: VerifyingKey) -> PreparedVerifyingKey:
     """verifier.rs:13-20."""
-    pairing = make_pairing(vk.curve)
     c = get_curve(vk.curve)
     from groth16_tpu.ref.group import g2_jacobian
 
+    nat = native_pairing(vk.curve)
+    if nat is not None:
+        alpha_beta = nat.pairing(vk.alpha_g1, vk.beta_g2)
+    else:
+        alpha_beta = make_pairing(vk.curve).pairing(vk.alpha_g1, vk.beta_g2)
     g2 = g2_jacobian(c)
     return PreparedVerifyingKey(
         vk=vk,
-        alpha_g1_beta_g2=pairing.pairing(vk.alpha_g1, vk.beta_g2),
+        alpha_g1_beta_g2=alpha_beta,
         gamma_g2_neg=g2.to_affine(g2.neg(g2.from_affine(vk.gamma_g2))),
         delta_g2_neg=g2.to_affine(g2.neg(g2.from_affine(vk.delta_g2))),
     )
@@ -39,6 +50,11 @@ def prepare_inputs(pvk: PreparedVerifyingKey, public_inputs: List[int]):
     if len(public_inputs) + 1 != len(pvk.vk.gamma_abc_g1):
         raise SynthesisError(SynthesisError.Kind.MALFORMED_VERIFYING_KEY)
     c = get_curve(pvk.vk.curve)
+    nat = native_pairing(pvk.vk.curve)
+    if nat is not None:
+        return nat.g1_msm(
+            pvk.vk.gamma_abc_g1, [1] + [x % c.r for x in public_inputs]
+        )
     from groth16_tpu.ref.group import g1_jacobian
 
     g1 = g1_jacobian(c)
@@ -52,11 +68,15 @@ def verify_proof_with_prepared_inputs(
     pvk: PreparedVerifyingKey, proof: Proof, prepared_inputs
 ) -> bool:
     """verifier.rs:44-65."""
+    g1s = [proof.a, prepared_inputs, proof.c]
+    g2s = [proof.b, pvk.gamma_g2_neg, pvk.delta_g2_neg]
+    nat = native_pairing(pvk.vk.curve)
+    if nat is not None:
+        # tower-curve final exponentiation never hits the Tate engine's
+        # zero case, so no UNEXPECTED_IDENTITY branch here
+        return nat.multi_pairing(g1s, g2s) == pvk.alpha_g1_beta_g2
     pairing = make_pairing(pvk.vk.curve)
-    qap = pairing.multi_miller_loop(
-        [proof.a, prepared_inputs, proof.c],
-        [proof.b, pvk.gamma_g2_neg, pvk.delta_g2_neg],
-    )
+    qap = pairing.multi_miller_loop(g1s, g2s)
     test = pairing.final_exponentiation(qap)
     if test is None:
         raise SynthesisError(SynthesisError.Kind.UNEXPECTED_IDENTITY)

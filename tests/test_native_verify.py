@@ -1,0 +1,124 @@
+"""Native C++ host engine vs the exact Python engine.
+
+The native engine (groth16_tpu/native) must be BIT-IDENTICAL to the
+Python exact engine on every exposed operation — the pairing value is
+canonical, so any divergence is a bug in one of them.
+
+Reference behavior: multi_miller_loop + final_exponentiation
+(/root/reference/src/verifier.rs:49-64), prepare_inputs (verifier.rs:
+25-39), ark-serialize Validate::Yes subgroup checks.
+"""
+
+import pytest
+
+from groth16_tpu.curves.params import get_curve
+from groth16_tpu.native import native_pairing
+from groth16_tpu.ref.curve import RefGroups
+from groth16_tpu.ref.group import g1_jacobian
+from groth16_tpu.ref.pairing import RefPairing
+
+NATIVE_CURVES = ["bn254", "bls12_377", "bls12_381"]
+
+
+def _require(name):
+    nat = native_pairing(name)
+    if nat is None:
+        pytest.skip("native engine unavailable (no g++ or disabled)")
+    return nat
+
+
+@pytest.mark.parametrize("name", NATIVE_CURVES)
+def test_native_multi_pairing_matches_python(name):
+    ref = RefGroups(name)
+    py = RefPairing(name)
+    nat = _require(name)
+    Ps = [ref.g1_sample(i + 5) for i in range(3)]
+    Qs = [ref.g2_sample(i + 11) for i in range(3)]
+    want = py.final_exponentiation(py.multi_miller_loop(Ps, Qs))
+    assert nat.multi_pairing(Ps, Qs) == want
+    # single pair + infinity skipping
+    assert nat.pairing(Ps[0], Qs[0]) == py.pairing(Ps[0], Qs[0])
+    assert nat.multi_pairing([Ps[0], None], [Qs[0], Qs[1]]) == (
+        py.final_exponentiation(py.multi_miller_loop([Ps[0]], [Qs[0]]))
+    )
+
+
+@pytest.mark.parametrize("name", NATIVE_CURVES)
+def test_native_g1_msm_matches_python(name):
+    ref = RefGroups(name)
+    nat = _require(name)
+    c = get_curve(name)
+    g1 = g1_jacobian(c)
+    Ps = [ref.g1_sample(i + 3) for i in range(4)]
+    scalars = [0, 1, c.r - 1, 987654321123456789]
+    acc = g1.from_affine(None)
+    for b, s in zip(Ps, scalars):
+        acc = g1.add(acc, g1.scalar_mul(g1.from_affine(b), s % c.r))
+    assert nat.g1_msm(Ps, scalars) == g1.to_affine(acc)
+    # all-zero scalars -> infinity
+    assert nat.g1_msm(Ps, [0] * 4) is None
+    # None base rows are skipped
+    assert nat.g1_msm([Ps[0], None], [5, 7]) == g1.to_affine(
+        g1.scalar_mul(g1.from_affine(Ps[0]), 5)
+    )
+
+
+def test_native_subgroup_check():
+    """bls12-381 has G1 cofactor > 1: an on-curve point outside the
+    r-order subgroup must be flagged; subgroup points must pass."""
+    from groth16_tpu.ref import curve as rc
+    from groth16_tpu.ref.field import sqrt_fp
+
+    name = "bls12_381"
+    nat = _require(name)
+    c = get_curve(name)
+    ref = RefGroups(name)
+    good = [ref.g1_sample(i + 2) for i in range(3)]
+    assert nat.g1_subgroup_check(good) == 0
+    assert nat.g1_subgroup_check(good + [None]) == 0
+    # find an on-curve, non-subgroup point
+    p = c.p
+    x = 2
+    bad = None
+    while bad is None:
+        x += 1
+        y = sqrt_fp((x * x * x + c.b) % p, p)
+        if y is None:
+            continue
+        if rc.mul_fp(p, (x, y), c.r) is not None:  # not killed by r
+            bad = (x, y)
+    assert nat.g1_subgroup_check(good + [bad]) == 1
+
+
+@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+def test_native_verify_roundtrip(name):
+    """verify_proof dispatches through the native engine and must agree
+    with the all-Python pairing equation on the same proof."""
+    from groth16_tpu.protocol import prepare_verifying_key, setup, verify_proof
+    from groth16_tpu.protocol.prover import create_proof_with_reduction
+    from groth16_tpu.protocol.verifier import prepare_inputs
+    from groth16_tpu.r1cs.circuits import MySillyCircuit
+    from groth16_tpu.ref.pairing import make_pairing
+    from groth16_tpu.utils.rng import Rng
+
+    _require(name)
+    c = get_curve(name)
+    rng = Rng(77)
+    pk, vk = setup(MySillyCircuit(), name, rng)
+    a, b = 6, 9
+    proof = create_proof_with_reduction(
+        MySillyCircuit(a=a, b=b), pk, rng.field_element(c.r), rng.field_element(c.r)
+    )
+    pvk = prepare_verifying_key(vk)
+    pub = [a * b % c.r]
+    assert verify_proof(pvk, proof, pub)
+    assert not verify_proof(pvk, proof, [a])
+    # cross-check the full equation against the pure-Python engine
+    py = make_pairing(name)
+    gic = prepare_inputs(pvk, pub)
+    want = py.final_exponentiation(
+        py.multi_miller_loop(
+            [proof.a, gic, proof.c], [proof.b, pvk.gamma_g2_neg, pvk.delta_g2_neg]
+        )
+    )
+    assert want == pvk.alpha_g1_beta_g2
