@@ -76,6 +76,12 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.g16_g1_msm.argtypes = [ctypes.c_void_p, ctypes.c_int, u64p, u8p, u64p, u64p, u8p]
     lib.g16_g1_subgroup_check.restype = ctypes.c_int
     lib.g16_g1_subgroup_check.argtypes = [ctypes.c_void_p, ctypes.c_int, u64p, u8p, u64p]
+    lib.g16_tate_ctx_new.restype = ctypes.c_void_p
+    lib.g16_tate_ctx_new.argtypes = [ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
+    lib.g16_tate_multi_pairing.restype = ctypes.c_int
+    lib.g16_tate_multi_pairing.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u64p, u64p, u8p, u64p,
+    ]
     return lib
 
 
@@ -263,10 +269,122 @@ class NativePairing:
         )
 
 
+class NativeTate:
+    """Native Tate engine for the BW6/MNT families: GT = Kh[v]/(v^2-u),
+    Kh = Fq[u]/(u^d - nr), Miller loop over the scalar-field order
+    (mirrors groth16_tpu.ref.pairing.RefPairingTate's projective path
+    bit-for-bit)."""
+
+    def __init__(self, curve_name: str):
+        from groth16_tpu.curves.params import get_curve
+        from groth16_tpu.ref.pairing import RefPairingTate
+
+        lib = _lib()
+        if lib is None:
+            raise ValueError("native library unavailable")
+        c = get_curve(curve_name)
+        if c.family not in ("bw6", "mnt4", "mnt6"):
+            raise ValueError(f"native Tate engine unsupported for {curve_name}")
+        self.c = c
+        self._lib = lib
+        # reuse the Python engine for untwisting (2 Kh muls per verify)
+        # and as the k12-compatible GT context
+        self._py = RefPairingTate(curve_name)
+        self.k12 = self._py.kgt
+        self.d = d = self._py.d
+        p = c.p
+        self.nl = nl = (p.bit_length() + 63) // 64
+
+        kh = self._py.kh
+        nr = c.fp2_nonresidue % p
+        r_mont = 1 << (64 * nl)
+        blob: List[int] = []
+        blob += _limbs(p, nl)
+        blob += _limbs(r_mont * r_mont % p, nl)
+        blob += [(-pow(p, -1, 1 << 64)) % (1 << 64)]
+        blob += _limbs(nr, nl)
+        blob += _limbs(c.a % p, nl)
+        blob += _limbs(c.r, nl)
+        digits = []
+        e = (p**d + 1) // c.r
+        assert e * c.r == p**d + 1, "r must divide q^d + 1 (Tate hard part)"
+        while e:
+            digits.append(e % p)
+            e //= p
+        assert 1 <= len(digits) <= 4
+        blob += [len(digits), d]
+        for dig in digits:
+            blob += _limbs(dig, nl)
+        u = tuple([0, 1] + [0] * (d - 2))
+        for k in range(1, len(digits)):
+            qk = pow(p, k)
+            assert (qk - 1) % d == 0
+            for i in range(d):
+                blob += _limbs(pow(nr, i * ((qk - 1) // d), p), nl)
+            vcoef = kh.pow(u, (qk - 1) // 2)
+            for v in vcoef:
+                blob += _limbs(v % p, nl)
+
+        arr = (ctypes.c_uint64 * len(blob))(*blob)
+        self._ctx = lib.g16_tate_ctx_new(nl, arr)
+        if not self._ctx:
+            raise ValueError("native tate ctx init failed")
+
+    def __del__(self):
+        ctx = getattr(self, "_ctx", None)
+        if ctx:
+            self._lib.g16_ctx_free(ctx)
+            self._ctx = None
+
+    def multi_pairing(self, g1s, g2s):
+        nl, p, d = self.nl, self.c.p, self.d
+        n = len(g1s)
+        g1_flat: List[int] = []
+        q_flat: List[int] = []
+        inf = []
+        for pt, qt in zip(g1s, g2s):
+            dead = pt is None or qt is None
+            inf.append(1 if dead else 0)
+            if dead:
+                g1_flat += [0] * (2 * nl)
+                q_flat += [0] * (2 * d * nl)
+            else:
+                g1_flat += _limbs(pt[0] % p, nl) + _limbs(pt[1] % p, nl)
+                xq3, yq3 = self._py.untwist(qt)
+                for v in xq3:
+                    q_flat += _limbs(v % p, nl)
+                for v in yq3:
+                    q_flat += _limbs(v % p, nl)
+        out = (ctypes.c_uint64 * (2 * d * nl))()
+        rc = self._lib.g16_tate_multi_pairing(
+            self._ctx, n,
+            (ctypes.c_uint64 * len(g1_flat))(*g1_flat),
+            (ctypes.c_uint64 * len(q_flat))(*q_flat),
+            (ctypes.c_uint8 * n)(*inf),
+            out,
+        )
+        if rc == 2:  # Miller value was zero: Python returns None here
+            return None
+        if rc != 0:
+            raise RuntimeError(f"g16_tate_multi_pairing rc={rc}")
+        vals = [_unlimbs(out[i * nl:(i + 1) * nl]) for i in range(2 * d)]
+        return (tuple(vals[:d]), tuple(vals[d:]))
+
+    def pairing(self, p_pt, q_pt):
+        return self.multi_pairing([p_pt], [q_pt])
+
+    # G1 ops share the tower engine's entry points (the context carries
+    # the curve's a coefficient, so MNT's a != 0 works)
+    g1_msm = NativePairing.g1_msm
+    g1_subgroup_check = NativePairing.g1_subgroup_check
+
+
 @functools.lru_cache(maxsize=None)
-def native_pairing(curve_name: str) -> Optional[NativePairing]:
+def native_pairing(curve_name: str):
     """The native engine for a curve, or None (unsupported / disabled)."""
-    try:
-        return NativePairing(curve_name)
-    except ValueError:
-        return None
+    for cls in (NativePairing, NativeTate):
+        try:
+            return cls(curve_name)
+        except ValueError:
+            continue
+    return None

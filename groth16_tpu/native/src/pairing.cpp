@@ -69,6 +69,13 @@ struct Ctx {
   // base-p digits of the hard part of the final exponentiation
   u64 hard_digits[4][MAXL];
   int ndig;
+  // --- Tate engine (BW6 / MNT families; GT = Kh[v]/(v^2-u)) ---------------
+  int tate_d;          // half-field degree (2 or 3); 0 = tower engine
+  Fp g1_a;             // short-Weierstrass a (Montgomery; 0 for BN/BLS/BW6)
+  u64 r_loop[MAXL];    // Tate Miller loop count = r (scalar field order)
+  int r_bits;
+  Fp tate_ucoef[3][3];  // frobenius power k=1..3: u^i coefficient i=0..d-1
+  Fp tate_vcoef[3][3];  // frobenius power k: vcoef (Kh element, d coords)
 };
 
 // ---------------------------------------------------------------------------
@@ -928,31 +935,40 @@ static void g1_dbl(const Ctx &c, G1J &r, const G1J &a) {
     r = a;
     return;
   }
-  // dbl-2009-l: A=X^2, B=Y^2, C=B^2, D=2((X+B)^2-A-C), E=3A, F=E^2
-  Fp A, B, C, D, E, F, t, t2;
-  fp_sqr(c, A, a.X);
-  fp_sqr(c, B, a.Y);
-  fp_sqr(c, C, B);
-  fp_add(c, t, a.X, B);
+  // dbl-2007-bl (valid for general curve coefficient a = c.g1_a):
+  // S=2((X+YY)^2-XX-YYYY), M=3XX+a*ZZ^2, X3=M^2-2S,
+  // Y3=M(S-X3)-8YYYY, Z3=(Y+Z)^2-YY-ZZ
+  Fp XX, YY, YYYY, ZZ, S, M, t, t2;
+  fp_sqr(c, XX, a.X);
+  fp_sqr(c, YY, a.Y);
+  fp_sqr(c, YYYY, YY);
+  fp_sqr(c, ZZ, a.Z);
+  fp_add(c, t, a.X, YY);
   fp_sqr(c, t, t);
-  fp_sub(c, t, t, A);
-  fp_sub(c, t, t, C);
-  fp_add(c, D, t, t);
-  fp_add(c, E, A, A);
-  fp_add(c, E, E, A);
-  fp_sqr(c, F, E);
-  // X3 = F - 2D; Y3 = E(D - X3) - 8C; Z3 = 2 Y Z
+  fp_sub(c, t, t, XX);
+  fp_sub(c, t, t, YYYY);
+  fp_add(c, S, t, t);
+  fp_add(c, M, XX, XX);
+  fp_add(c, M, M, XX);
+  if (!fp_is_zero(c, c.g1_a)) {
+    fp_sqr(c, t, ZZ);
+    fp_mul(c, t, t, c.g1_a);
+    fp_add(c, M, M, t);
+  }
   Fp X3, Y3, Z3;
-  fp_add(c, t, D, D);
-  fp_sub(c, X3, F, t);
-  fp_sub(c, t, D, X3);
-  fp_mul(c, t, E, t);
-  fp_add(c, t2, C, C);
+  fp_sqr(c, X3, M);
+  fp_add(c, t, S, S);
+  fp_sub(c, X3, X3, t);
+  fp_sub(c, t, S, X3);
+  fp_mul(c, t, M, t);
+  fp_add(c, t2, YYYY, YYYY);
   fp_add(c, t2, t2, t2);
   fp_add(c, t2, t2, t2);
   fp_sub(c, Y3, t, t2);
-  fp_mul(c, t, a.Y, a.Z);
-  fp_add(c, Z3, t, t);
+  fp_add(c, t, a.Y, a.Z);
+  fp_sqr(c, t, t);
+  fp_sub(c, t, t, YY);
+  fp_sub(c, Z3, t, ZZ);
   r.X = X3;
   r.Y = Y3;
   r.Z = Z3;
@@ -1027,6 +1043,462 @@ static void g1_mul_limbs(const Ctx &c, G1J &r, const G1J &base, const u64 *e,
     if ((e[bit / 64] >> (bit % 64)) & 1) g1_add(c, acc, acc, base);
   }
   r = acc;
+}
+
+// ---------------------------------------------------------------------------
+// Tate engine for BW6 / MNT families (matches ref/pairing.py
+// RefPairingTate's projective fast path): Kh = Fq[u]/(u^D - nr),
+// GT = Kh[v]/(v^2 - u); Miller loop over the scalar-field order r with
+// lines evaluated at the untwisted Q (Kh coordinates, precomputed by
+// the Python caller).
+// ---------------------------------------------------------------------------
+
+template <int D>
+struct Kh {
+  Fp c[D];
+};
+template <int D>
+struct GTq {
+  Kh<D> c0, c1;  // c0 + c1 v
+};
+
+template <int D>
+static void kh_add(const Ctx &x, Kh<D> &r, const Kh<D> &a, const Kh<D> &b) {
+  for (int i = 0; i < D; i++) fp_add(x, r.c[i], a.c[i], b.c[i]);
+}
+template <int D>
+static void kh_sub(const Ctx &x, Kh<D> &r, const Kh<D> &a, const Kh<D> &b) {
+  for (int i = 0; i < D; i++) fp_sub(x, r.c[i], a.c[i], b.c[i]);
+}
+template <int D>
+static void kh_neg(const Ctx &x, Kh<D> &r, const Kh<D> &a) {
+  for (int i = 0; i < D; i++) fp_neg(x, r.c[i], a.c[i]);
+}
+template <int D>
+static void kh_mul_fp(const Ctx &x, Kh<D> &r, const Kh<D> &a, const Fp &k) {
+  for (int i = 0; i < D; i++) fp_mul(x, r.c[i], a.c[i], k);
+}
+template <int D>
+static int kh_is_zero(const Ctx &x, const Kh<D> &a) {
+  for (int i = 0; i < D; i++)
+    if (!fp_is_zero(x, a.c[i])) return 0;
+  return 1;
+}
+
+template <int D>
+static void kh_mul(const Ctx &x, Kh<D> &r, const Kh<D> &a, const Kh<D> &b);
+
+template <>
+void kh_mul<2>(const Ctx &x, Kh<2> &r, const Kh<2> &a, const Kh<2> &b) {
+  // (matches Fp2Ctx.mul): c0 = a0b0 + nr a1b1, c1 = a0b1 + a1b0
+  Fp t0, t1, s, m1, m2;
+  fp_mul(x, t0, a.c[0], b.c[0]);
+  fp_mul(x, t1, a.c[1], b.c[1]);
+  fp_mul(x, s, x.nr, t1);
+  fp_mul(x, m1, a.c[0], b.c[1]);
+  fp_mul(x, m2, a.c[1], b.c[0]);
+  fp_add(x, r.c[0], t0, s);
+  fp_add(x, r.c[1], m1, m2);
+}
+
+template <>
+void kh_mul<3>(const Ctx &x, Kh<3> &r, const Kh<3> &a, const Kh<3> &b) {
+  // (matches Fp3Ctx.mul): c0 = a0b0 + nr(a1b2 + a2b1),
+  // c1 = a0b1 + a1b0 + nr a2b2, c2 = a0b2 + a1b1 + a2b0
+  Fp m, m2, t, out0, out1, out2;
+  fp_mul(x, m, a.c[1], b.c[2]);
+  fp_mul(x, m2, a.c[2], b.c[1]);
+  fp_add(x, t, m, m2);
+  fp_mul(x, t, t, x.nr);
+  fp_mul(x, m, a.c[0], b.c[0]);
+  fp_add(x, out0, m, t);
+  fp_mul(x, m, a.c[0], b.c[1]);
+  fp_mul(x, m2, a.c[1], b.c[0]);
+  fp_add(x, t, m, m2);
+  fp_mul(x, m, a.c[2], b.c[2]);
+  fp_mul(x, m, m, x.nr);
+  fp_add(x, out1, t, m);
+  fp_mul(x, m, a.c[0], b.c[2]);
+  fp_mul(x, m2, a.c[1], b.c[1]);
+  fp_add(x, t, m, m2);
+  fp_mul(x, m, a.c[2], b.c[0]);
+  fp_add(x, out2, t, m);
+  r.c[0] = out0;
+  r.c[1] = out1;
+  r.c[2] = out2;
+}
+
+template <int D>
+static void kh_sqr(const Ctx &x, Kh<D> &r, const Kh<D> &a) {
+  kh_mul<D>(x, r, a, a);
+}
+
+template <int D>
+static void kh_mul_by_u(const Ctx &x, Kh<D> &r, const Kh<D> &a) {
+  // u * (a0..a_{D-1}) = (nr*a_{D-1}, a0, ..)
+  Fp top;
+  fp_mul(x, top, x.nr, a.c[D - 1]);
+  for (int i = D - 1; i > 0; i--) r.c[i] = a.c[i - 1];
+  r.c[0] = top;
+}
+
+template <int D>
+static void kh_inv(const Ctx &x, Kh<D> &r, const Kh<D> &a);
+
+template <>
+void kh_inv<2>(const Ctx &x, Kh<2> &r, const Kh<2> &a) {
+  // norm trick: 1/(a0 + a1 u) = (a0 - a1 u) / (a0^2 - nr a1^2)
+  Fp n, t0, t1, ninv;
+  fp_sqr(x, t0, a.c[0]);
+  fp_sqr(x, t1, a.c[1]);
+  fp_mul(x, t1, t1, x.nr);
+  fp_sub(x, n, t0, t1);
+  fp_inv(x, ninv, n);
+  fp_mul(x, r.c[0], a.c[0], ninv);
+  Fp na1;
+  fp_neg(x, na1, a.c[1]);
+  fp_mul(x, r.c[1], na1, ninv);
+}
+
+template <>
+void kh_inv<3>(const Ctx &x, Kh<3> &r, const Kh<3> &a) {
+  // matches Fp3Ctx.inv
+  Fp t0, t1, t2, den, m, m2, dinv;
+  fp_sqr(x, t0, a.c[0]);
+  fp_mul(x, m, a.c[1], a.c[2]);
+  fp_mul(x, m, m, x.nr);
+  fp_sub(x, t0, t0, m);
+  fp_sqr(x, t1, a.c[2]);
+  fp_mul(x, t1, t1, x.nr);
+  fp_mul(x, m, a.c[0], a.c[1]);
+  fp_sub(x, t1, t1, m);
+  fp_sqr(x, t2, a.c[1]);
+  fp_mul(x, m, a.c[0], a.c[2]);
+  fp_sub(x, t2, t2, m);
+  fp_mul(x, m, a.c[2], t1);
+  fp_mul(x, m2, a.c[1], t2);
+  fp_add(x, m, m, m2);
+  fp_mul(x, m, m, x.nr);
+  fp_mul(x, den, a.c[0], t0);
+  fp_add(x, den, den, m);
+  fp_inv(x, dinv, den);
+  fp_mul(x, r.c[0], t0, dinv);
+  fp_mul(x, r.c[1], t1, dinv);
+  fp_mul(x, r.c[2], t2, dinv);
+}
+
+template <int D>
+static void gt_mul(const Ctx &x, GTq<D> &r, const GTq<D> &a, const GTq<D> &b) {
+  // (matches Fp6Direct3Ctx.mul): c0 = a0b0 + u a1b1, c1 = a0b1 + a1b0
+  Kh<D> v00, v11, u1, m1, m2;
+  kh_mul<D>(x, v00, a.c0, b.c0);
+  kh_mul<D>(x, v11, a.c1, b.c1);
+  kh_mul_by_u<D>(x, u1, v11);
+  kh_mul<D>(x, m1, a.c0, b.c1);
+  kh_mul<D>(x, m2, a.c1, b.c0);
+  kh_add<D>(x, r.c0, v00, u1);
+  kh_add<D>(x, r.c1, m1, m2);
+}
+
+template <int D>
+static void gt_sqr(const Ctx &x, GTq<D> &r, const GTq<D> &a) {
+  // (a0 + a1 v)^2 = (a0^2 + u a1^2) + 2 a0 a1 v
+  Kh<D> m, s0, s1, u1;
+  kh_mul<D>(x, m, a.c0, a.c1);
+  kh_sqr<D>(x, s0, a.c0);
+  kh_sqr<D>(x, s1, a.c1);
+  kh_mul_by_u<D>(x, u1, s1);
+  kh_add<D>(x, r.c0, s0, u1);
+  kh_add<D>(x, r.c1, m, m);
+}
+
+template <int D>
+static void gt_conj(const Ctx &x, GTq<D> &r, const GTq<D> &a) {
+  r.c0 = a.c0;
+  kh_neg<D>(x, r.c1, a.c1);
+}
+
+template <int D>
+static void gt_inv(const Ctx &x, GTq<D> &r, const GTq<D> &a) {
+  Kh<D> n, s0, s1, u1, ninv;
+  kh_sqr<D>(x, s0, a.c0);
+  kh_sqr<D>(x, s1, a.c1);
+  kh_mul_by_u<D>(x, u1, s1);
+  kh_sub<D>(x, n, s0, u1);
+  kh_inv<D>(x, ninv, n);
+  kh_mul<D>(x, r.c0, a.c0, ninv);
+  Kh<D> m;
+  kh_mul<D>(x, m, a.c1, ninv);
+  kh_neg<D>(x, r.c1, m);
+}
+
+template <int D>
+static void gt_one(const Ctx &x, GTq<D> &r) {
+  memset(&r, 0, sizeof(GTq<D>));
+  r.c0.c[0] = x.one;
+}
+
+template <int D>
+static void gt_frobenius(const Ctx &x, GTq<D> &r, const GTq<D> &a, int power) {
+  // (matches Fp6Direct3Ctx.frobenius): coefficient-wise u-power twists,
+  // then the v-part is multiplied by vcoef
+  const Fp *uc = x.tate_ucoef[power - 1];
+  Kh<D> f0, f1, vc;
+  for (int i = 0; i < D; i++) {
+    fp_mul(x, f0.c[i], a.c0.c[i], uc[i]);
+    fp_mul(x, f1.c[i], a.c1.c[i], uc[i]);
+    vc.c[i] = x.tate_vcoef[power - 1][i];
+  }
+  r.c0 = f0;
+  kh_mul<D>(x, r.c1, f1, vc);
+}
+
+// Projective Miller doubling on E(Fq); line at untwisted Q.
+template <int D>
+static void tate_dbl_step(const Ctx &x, G1J &t, GTq<D> &line, const Kh<D> &xq3,
+                          const Kh<D> &yq3) {
+  // (matches RefPairingTate._dbl_step_fp)
+  Fp W, S, B, H, YS, t1, t2;
+  fp_sqr(x, t1, t.Z);
+  fp_mul(x, W, t1, x.g1_a);
+  fp_sqr(x, t2, t.X);
+  fp_add(x, t1, t2, t2);
+  fp_add(x, t1, t1, t2);
+  fp_add(x, W, W, t1);  // W = a Z^2 + 3 X^2
+  fp_mul(x, S, t.Y, t.Z);
+  fp_mul(x, B, t.X, t.Y);
+  fp_mul(x, B, B, S);
+  fp_sqr(x, t1, W);
+  Fp B8;
+  fp_add(x, B8, B, B);
+  fp_add(x, B8, B8, B8);
+  fp_add(x, B8, B8, B8);
+  fp_sub(x, H, t1, B8);
+  fp_mul(x, YS, t.Y, S);
+  // T' = (2HS, W(4B - H) - 8(YS)^2, 8S^3)
+  G1J nt;
+  fp_mul(x, t1, H, S);
+  fp_add(x, nt.X, t1, t1);
+  fp_add(x, t1, B, B);
+  fp_add(x, t1, t1, t1);
+  fp_sub(x, t1, t1, H);
+  fp_mul(x, t1, W, t1);
+  fp_sqr(x, t2, YS);
+  fp_add(x, t2, t2, t2);
+  fp_add(x, t2, t2, t2);
+  fp_add(x, t2, t2, t2);
+  fp_sub(x, nt.Y, t1, t2);
+  fp_sqr(x, t1, S);
+  fp_mul(x, t1, t1, S);
+  fp_add(x, t1, t1, t1);
+  fp_add(x, t1, t1, t1);
+  fp_add(x, t1, t1, t1);
+  nt.Z = t1;
+  // line c0 = xq3 * (-W Z) + embed(W X - 2 Y^2 Z); c1 = yq3 * (2 S Z)
+  Fp wz, wx, e;
+  fp_mul(x, wz, W, t.Z);
+  fp_neg(x, wz, wz);
+  fp_mul(x, wx, W, t.X);
+  fp_sqr(x, t1, t.Y);
+  fp_mul(x, t1, t1, t.Z);
+  fp_add(x, t1, t1, t1);
+  fp_sub(x, e, wx, t1);
+  kh_mul_fp<D>(x, line.c0, xq3, wz);
+  fp_add(x, line.c0.c[0], line.c0.c[0], e);
+  fp_mul(x, t1, S, t.Z);
+  fp_add(x, t1, t1, t1);
+  kh_mul_fp<D>(x, line.c1, yq3, t1);
+  t = nt;
+}
+
+// Mixed add T + P; line through P at untwisted Q.  Returns:
+//   0 = normal add, 1 = degenerated to a doubling (T == P),
+//   2 = vertical (T + (-T) = O: caller kills T; line dies).
+template <int D>
+static int tate_add_step(const Ctx &x, G1J &t, GTq<D> &line, const Fp &xp,
+                         const Fp &yp, const Kh<D> &xq3, const Kh<D> &yq3) {
+  // (matches RefPairingTate._add_step_fp)
+  Fp u_, v_, t1, t2;
+  fp_mul(x, t1, yp, t.Z);
+  fp_sub(x, u_, t1, t.Y);
+  fp_mul(x, t1, xp, t.Z);
+  fp_sub(x, v_, t1, t.X);
+  if (fp_is_zero(x, v_)) {
+    if (fp_is_zero(x, u_)) {
+      tate_dbl_step<D>(x, t, line, xq3, yq3);
+      return 1;
+    }
+    return 2;
+  }
+  Fp v2, v3, A_;
+  fp_sqr(x, v2, v_);
+  fp_mul(x, v3, v2, v_);
+  fp_sqr(x, t1, u_);
+  fp_mul(x, t1, t1, t.Z);
+  fp_sub(x, t1, t1, v3);
+  fp_mul(x, t2, v2, t.X);
+  fp_add(x, t2, t2, t2);
+  fp_sub(x, A_, t1, t2);
+  G1J nt;
+  fp_mul(x, nt.X, v_, A_);
+  fp_mul(x, t1, v2, t.X);
+  fp_sub(x, t1, t1, A_);
+  fp_mul(x, t1, u_, t1);
+  fp_mul(x, t2, v3, t.Y);
+  fp_sub(x, nt.Y, t1, t2);
+  fp_mul(x, nt.Z, v3, t.Z);
+  // line c0 = xq3 * (-u) + embed(u xp - v yp); c1 = yq3 * v
+  Fp nu, e;
+  fp_neg(x, nu, u_);
+  fp_mul(x, t1, u_, xp);
+  fp_mul(x, t2, v_, yp);
+  fp_sub(x, e, t1, t2);
+  kh_mul_fp<D>(x, line.c0, xq3, nu);
+  fp_add(x, line.c0.c[0], line.c0.c[0], e);
+  kh_mul_fp<D>(x, line.c1, yq3, v_);
+  t = nt;
+  return 0;
+}
+
+// Multi-pair Tate Miller loop over bits of r, one shared squaring chain
+// (matches RefPairingTate.multi_miller_loop).
+template <int D>
+static void tate_multi_miller(const Ctx &x, GTq<D> &f, int n, const Fp *xps,
+                              const Fp *yps, const Kh<D> *xq3s,
+                              const Kh<D> *yq3s) {
+  G1J ts[8];
+  bool dead[8];
+  for (int i = 0; i < n; i++) {
+    ts[i].X = xps[i];
+    ts[i].Y = yps[i];
+    ts[i].Z = x.one;
+    dead[i] = false;
+  }
+  bool started = false;
+  GTq<D> line;
+  for (int bit = x.r_bits - 2; bit >= 0; bit--) {
+    if (started) gt_sqr<D>(x, f, f);
+    for (int i = 0; i < n; i++) {
+      if (dead[i]) continue;
+      tate_dbl_step<D>(x, ts[i], line, xq3s[i], yq3s[i]);
+      if (started)
+        gt_mul<D>(x, f, f, line);
+      else {
+        f = line;
+        started = true;
+      }
+    }
+    if ((x.r_loop[bit / 64] >> (bit % 64)) & 1) {
+      for (int i = 0; i < n; i++) {
+        if (dead[i]) {
+          // O + P = P; the vertical line at P dies in the final exp
+          ts[i].X = xps[i];
+          ts[i].Y = yps[i];
+          ts[i].Z = x.one;
+          dead[i] = false;
+          continue;
+        }
+        int rc = tate_add_step<D>(x, ts[i], line, xps[i], yps[i], xq3s[i],
+                                  yq3s[i]);
+        if (rc == 2) {
+          dead[i] = true;
+          continue;
+        }
+        if (started)
+          gt_mul<D>(x, f, f, line);
+        else {
+          f = line;
+          started = true;
+        }
+      }
+    }
+  }
+  if (!started) gt_one<D>(x, f);
+}
+
+// Frobenius-Straus joint exponentiation in GT by the base-q digits of
+// (q^D + 1)/r (the hard part; easy part = conj * inv).
+template <int D>
+static void tate_final_exp(const Ctx &x, GTq<D> &r, const GTq<D> &f) {
+  GTq<D> finv, f1;
+  gt_inv<D>(x, finv, f);
+  gt_conj<D>(x, f1, f);
+  gt_mul<D>(x, f1, f1, finv);  // ^(q^D - 1)
+  const int nd = x.ndig;
+  GTq<D> bases[4];
+  bases[0] = f1;
+  for (int i = 1; i < nd; i++) gt_frobenius<D>(x, bases[i], f1, i);
+  GTq<D> table[16];
+  int tsize = 1 << nd;
+  for (int mask = 1; mask < tsize; mask++) {
+    int low = mask & (-mask);
+    int i = __builtin_ctz(low);
+    if (mask == low)
+      table[mask] = bases[i];
+    else
+      gt_mul<D>(x, table[mask], table[mask ^ low], bases[i]);
+  }
+  int top = -1;
+  for (int j = 0; j < nd; j++)
+    for (int bit = x.nl * 64 - 1; bit >= 0; bit--)
+      if ((x.hard_digits[j][bit / 64] >> (bit % 64)) & 1) {
+        if (bit > top) top = bit;
+        break;
+      }
+  bool started = false;
+  GTq<D> res;
+  for (int bit = top; bit >= 0; bit--) {
+    if (started) gt_sqr<D>(x, res, res);
+    int mask = 0;
+    for (int j = 0; j < nd; j++)
+      mask |= (int)((x.hard_digits[j][bit / 64] >> (bit % 64)) & 1) << j;
+    if (mask) {
+      if (!started) {
+        res = table[mask];
+        started = true;
+      } else {
+        gt_mul<D>(x, res, res, table[mask]);
+      }
+    }
+  }
+  if (!started)
+    gt_one<D>(x, r);
+  else
+    r = res;
+}
+
+template <int D>
+static int tate_pairing_impl(const Ctx &x, int n, const u64 *g1,
+                             const u64 *q_kh, const unsigned char *inf,
+                             u64 *out_gt) {
+  Fp xps[8], yps[8];
+  Kh<D> xq3s[8], yq3s[8];
+  int m = 0;
+  for (int i = 0; i < n; i++) {
+    if (inf && inf[i]) continue;
+    const u64 *pg1 = g1 + (size_t)i * 2 * x.nl;
+    fp_from_std(x, xps[m], pg1);
+    fp_from_std(x, yps[m], pg1 + x.nl);
+    const u64 *pq = q_kh + (size_t)i * 2 * D * x.nl;
+    for (int j = 0; j < D; j++) fp_from_std(x, xq3s[m].c[j], pq + (size_t)j * x.nl);
+    for (int j = 0; j < D; j++)
+      fp_from_std(x, yq3s[m].c[j], pq + (size_t)(D + j) * x.nl);
+    m++;
+  }
+  GTq<D> f, out;
+  if (m == 0)
+    gt_one<D>(x, f);
+  else
+    tate_multi_miller<D>(x, f, m, xps, yps, xq3s, yq3s);
+  // the Tate Miller value can be 0 only on malformed input (point at
+  // infinity slipped through); report it instead of dividing by zero
+  bool zero = kh_is_zero<D>(x, f.c0) && kh_is_zero<D>(x, f.c1);
+  if (zero) return 2;
+  tate_final_exp<D>(x, out, f);
+  const Fp *flat = (const Fp *)&out;
+  for (int i = 0; i < 2 * D; i++)
+    fp_to_std(x, out_gt + (size_t)i * x.nl, flat[i]);
+  return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -1183,6 +1655,76 @@ int g16_multi_miller(void *ctx, int n, const u64 *g1, const u64 *g2,
   const Fp *flat = (const Fp *)&f;
   for (int i = 0; i < 12; i++) fp_to_std(c, out_f + (size_t)i * c.nl, flat[i]);
   return 0;
+}
+
+// Tate-engine context (BW6/MNT).  blob layout (nl-limb LE values):
+//   p, r2, [n0inv 1 limb], nr (Fp), g1_a (Fp), r_loop (raw),
+//   [ndig, d as 2 raw limbs], hard_digits (ndig * nl raw),
+//   then per frobenius power k = 1..ndig-1: d Fp ucoefs + d Fp vcoef.
+void *g16_tate_ctx_new(int nl, const u64 *blob) {
+  if (nl < 1 || nl > MAXL) return nullptr;
+  Ctx *c = new Ctx();
+  memset(c, 0, sizeof(Ctx));
+  c->nl = nl;
+  const u64 *cur = blob;
+  for (int i = 0; i < nl; i++) c->p[i] = cur[i];
+  cur += nl;
+  for (int i = 0; i < nl; i++) c->r2.v[i] = cur[i];
+  cur += nl;
+  c->n0inv = cur[0];
+  cur += 1;
+  {
+    u128 borrow = 2;
+    for (int i = 0; i < nl; i++) {
+      u128 v = (u128)c->p[i] - (u64)borrow;
+      c->pm2[i] = (u64)v;
+      borrow = (v >> 64) ? 1 : 0;
+    }
+    u64 tmp[MAXL] = {0};
+    tmp[0] = 1;
+    Fp t;
+    for (int i = 0; i < nl; i++) t.v[i] = tmp[i];
+    fp_mul(*c, c->one, t, c->r2);
+  }
+  read_fp(*c, c->nr, cur);
+  read_fp(*c, c->g1_a, cur);
+  for (int i = 0; i < nl; i++) c->r_loop[i] = cur[i];
+  cur += nl;
+  int ndig = (int)cur[0];
+  int d = (int)cur[1];
+  cur += 2;
+  if (d != 2 && d != 3) {
+    delete c;
+    return nullptr;
+  }
+  c->tate_d = d;
+  c->ndig = ndig > 4 ? 4 : ndig;
+  for (int j = 0; j < c->ndig; j++) {
+    for (int i = 0; i < nl; i++) c->hard_digits[j][i] = cur[i];
+    cur += nl;
+  }
+  for (int k = 1; k < c->ndig && k <= 3; k++) {
+    for (int i = 0; i < d; i++) read_fp(*c, c->tate_ucoef[k - 1][i], cur);
+    for (int i = 0; i < d; i++) read_fp(*c, c->tate_vcoef[k - 1][i], cur);
+  }
+  c->r_bits = 0;
+  for (int bit = nl * 64 - 1; bit >= 0; bit--)
+    if ((c->r_loop[bit / 64] >> (bit % 64)) & 1) {
+      c->r_bits = bit + 1;
+      break;
+    }
+  return c;
+}
+
+// q_kh: n * 2*d*nl limbs — the UNTWISTED Q coordinates (Kh elements,
+// x then y), computed by the caller.  out_gt: 2*d*nl limbs.
+int g16_tate_multi_pairing(void *ctx, int n, const u64 *g1, const u64 *q_kh,
+                           const unsigned char *inf, u64 *out_gt) {
+  Ctx &c = *(Ctx *)ctx;
+  if (n < 1 || n > 8) return 1;
+  if (c.tate_d == 2) return tate_pairing_impl<2>(c, n, g1, q_kh, inf, out_gt);
+  if (c.tate_d == 3) return tate_pairing_impl<3>(c, n, g1, q_kh, inf, out_gt);
+  return 1;
 }
 
 // Small variable-base MSM: out = sum_i scalars[i] * bases[i]

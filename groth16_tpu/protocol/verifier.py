@@ -72,9 +72,10 @@ def verify_proof_with_prepared_inputs(
     g2s = [proof.b, pvk.gamma_g2_neg, pvk.delta_g2_neg]
     nat = native_pairing(pvk.vk.curve)
     if nat is not None:
-        # tower-curve final exponentiation never hits the Tate engine's
-        # zero case, so no UNEXPECTED_IDENTITY branch here
-        return nat.multi_pairing(g1s, g2s) == pvk.alpha_g1_beta_g2
+        test = nat.multi_pairing(g1s, g2s)
+        if test is None:  # Tate engine: zero Miller value (as Python)
+            raise SynthesisError(SynthesisError.Kind.UNEXPECTED_IDENTITY)
+        return test == pvk.alpha_g1_beta_g2
     pairing = make_pairing(pvk.vk.curve)
     qap = pairing.multi_miller_loop(g1s, g2s)
     test = pairing.final_exponentiation(qap)

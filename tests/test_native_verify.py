@@ -18,6 +18,7 @@ from groth16_tpu.ref.group import g1_jacobian
 from groth16_tpu.ref.pairing import RefPairing
 
 NATIVE_CURVES = ["bn254", "bls12_377", "bls12_381"]
+NATIVE_TATE_CURVES = ["mnt4_298", "mnt6_298", "bw6_761"]
 
 
 def _require(name):
@@ -41,6 +42,35 @@ def test_native_multi_pairing_matches_python(name):
     assert nat.multi_pairing([Ps[0], None], [Qs[0], Qs[1]]) == (
         py.final_exponentiation(py.multi_miller_loop([Ps[0]], [Qs[0]]))
     )
+
+
+@pytest.mark.parametrize("name", NATIVE_TATE_CURVES)
+def test_native_tate_pairing_matches_python(name):
+    """BW6/MNT families run the native Tate engine (Kh[v] tower,
+    r-order Miller loop) — values must equal the Python engine's."""
+    from groth16_tpu.ref.pairing import make_pairing
+
+    ref = RefGroups(name)
+    py = make_pairing(name)
+    nat = _require(name)
+    Ps = [ref.g1_sample(i + 5) for i in range(3)]
+    Qs = [ref.g2_sample(i + 11) for i in range(3)]
+    want = py.final_exponentiation(py.multi_miller_loop(Ps, Qs))
+    assert nat.multi_pairing(Ps, Qs) == want
+    assert nat.multi_pairing([Ps[0], None], [Qs[0], Qs[1]]) == (
+        py.final_exponentiation(py.multi_miller_loop([Ps[0]], [Qs[0]]))
+    )
+    # MNT curves have a != 0: the general-a G1 path must agree too
+    from groth16_tpu.curves.params import get_curve
+
+    c = get_curve(name)
+    g1 = g1_jacobian(c)
+    sc = [12345678901, 2, 0]
+    acc = g1.from_affine(None)
+    for b, s in zip(Ps, sc):
+        acc = g1.add(acc, g1.scalar_mul(g1.from_affine(b), s % c.r))
+    assert nat.g1_msm(Ps, sc) == g1.to_affine(acc)
+    assert nat.g1_subgroup_check(Ps) == 0
 
 
 @pytest.mark.parametrize("name", NATIVE_CURVES)
@@ -90,7 +120,7 @@ def test_native_subgroup_check():
     assert nat.g1_subgroup_check(good + [bad]) == 1
 
 
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "mnt4_298"])
 def test_native_verify_roundtrip(name):
     """verify_proof dispatches through the native engine and must agree
     with the all-Python pairing equation on the same proof."""
