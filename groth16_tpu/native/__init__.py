@@ -76,6 +76,10 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.g16_g1_msm.argtypes = [ctypes.c_void_p, ctypes.c_int, u64p, u8p, u64p, u64p, u8p]
     lib.g16_g1_subgroup_check.restype = ctypes.c_int
     lib.g16_g1_subgroup_check.argtypes = [ctypes.c_void_p, ctypes.c_int, u64p, u8p, u64p]
+    lib.g16_g2_subgroup_check.restype = ctypes.c_int
+    lib.g16_g2_subgroup_check.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, u64p, ctypes.c_int, u64p, u8p, u64p,
+    ]
     lib.g16_tate_ctx_new.restype = ctypes.c_void_p
     lib.g16_tate_ctx_new.argtypes = [ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
     lib.g16_tate_multi_pairing.restype = ctypes.c_int
@@ -268,6 +272,49 @@ class NativePairing:
             (ctypes.c_uint64 * nl)(*rl),
         )
 
+    def g2_subgroup_check(self, points) -> int:
+        """Number of G2 points NOT in the r-order subgroup.  Points are
+        affine with coordinates in the G2 field (ints for degree 1,
+        degree-length tuples otherwise)."""
+        nl, p, c = self.nl, self.c.p, self.c
+        deg = 1 if c.g2_over_base else c.g2_field_degree
+        a2 = getattr(c, "a2", None)
+        if a2 is None:
+            a2_coords = [0] * deg
+        elif isinstance(a2, int):
+            a2_coords = [a2 % p] + [0] * (deg - 1)
+        else:
+            a2_coords = [v % p for v in a2]
+
+        def coords(v):
+            return [v % p] if deg == 1 else [x % p for x in v]
+
+        n = len(points)
+        flat: List[int] = []
+        inf = []
+        for b in points:
+            inf.append(1 if b is None else 0)
+            if b is None:
+                flat += [0] * (2 * deg * nl)
+            else:
+                for v in coords(b[0]) + coords(b[1]):
+                    flat += _limbs(v, nl)
+        a2_flat: List[int] = []
+        for v in a2_coords:
+            a2_flat += _limbs(v, nl)
+        rl = _limbs(c.r, nl)
+        out = self._lib.g16_g2_subgroup_check(
+            self._ctx, deg,
+            (ctypes.c_uint64 * len(a2_flat))(*a2_flat),
+            n,
+            (ctypes.c_uint64 * len(flat))(*flat),
+            (ctypes.c_uint8 * n)(*inf),
+            (ctypes.c_uint64 * nl)(*rl),
+        )
+        if out < 0:
+            raise RuntimeError("g16_g2_subgroup_check bad degree")
+        return out
+
 
 class NativeTate:
     """Native Tate engine for the BW6/MNT families: GT = Kh[v]/(v^2-u),
@@ -373,10 +420,11 @@ class NativeTate:
     def pairing(self, p_pt, q_pt):
         return self.multi_pairing([p_pt], [q_pt])
 
-    # G1 ops share the tower engine's entry points (the context carries
-    # the curve's a coefficient, so MNT's a != 0 works)
+    # G1/G2 ops share the tower engine's entry points (the context
+    # carries the curve's a coefficient, so MNT's a != 0 works)
     g1_msm = NativePairing.g1_msm
     g1_subgroup_check = NativePairing.g1_subgroup_check
+    g2_subgroup_check = NativePairing.g2_subgroup_check
 
 
 @functools.lru_cache(maxsize=None)

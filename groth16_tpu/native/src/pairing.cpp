@@ -1467,6 +1467,164 @@ static void tate_final_exp(const Ctx &x, GTq<D> &r, const GTq<D> &f) {
     r = res;
 }
 
+// ---------------------------------------------------------------------------
+// Field-generic Jacobian point ops (for G2 subgroup checks over Fp2/Fp3
+// as well as Fq).  `el_*` overloads dispatch per coordinate ring.
+// ---------------------------------------------------------------------------
+
+static inline void el_add(const Ctx &c, Fp &r, const Fp &a, const Fp &b) { fp_add(c, r, a, b); }
+static inline void el_sub(const Ctx &c, Fp &r, const Fp &a, const Fp &b) { fp_sub(c, r, a, b); }
+static inline void el_mul(const Ctx &c, Fp &r, const Fp &a, const Fp &b) { fp_mul(c, r, a, b); }
+static inline int el_is_zero(const Ctx &c, const Fp &a) { return fp_is_zero(c, a); }
+template <int D>
+static inline void el_add(const Ctx &c, Kh<D> &r, const Kh<D> &a, const Kh<D> &b) { kh_add<D>(c, r, a, b); }
+template <int D>
+static inline void el_sub(const Ctx &c, Kh<D> &r, const Kh<D> &a, const Kh<D> &b) { kh_sub<D>(c, r, a, b); }
+template <int D>
+static inline void el_mul(const Ctx &c, Kh<D> &r, const Kh<D> &a, const Kh<D> &b) { kh_mul<D>(c, r, a, b); }
+template <int D>
+static inline int el_is_zero(const Ctx &c, const Kh<D> &a) { return kh_is_zero<D>(c, a); }
+
+template <typename T>
+struct JacPt {
+  T X, Y, Z;
+};
+
+template <typename T>
+static void jac_dbl(const Ctx &c, const T &acoef, int a_zero, JacPt<T> &r,
+                    const JacPt<T> &a) {
+  if (el_is_zero(c, a.Z)) {
+    r = a;
+    return;
+  }
+  T XX, YY, YYYY, ZZ, S, M, t, t2;
+  el_mul(c, XX, a.X, a.X);
+  el_mul(c, YY, a.Y, a.Y);
+  el_mul(c, YYYY, YY, YY);
+  el_mul(c, ZZ, a.Z, a.Z);
+  el_add(c, t, a.X, YY);
+  el_mul(c, t, t, t);
+  el_sub(c, t, t, XX);
+  el_sub(c, t, t, YYYY);
+  el_add(c, S, t, t);
+  el_add(c, M, XX, XX);
+  el_add(c, M, M, XX);
+  if (!a_zero) {
+    el_mul(c, t, ZZ, ZZ);
+    el_mul(c, t, t, acoef);
+    el_add(c, M, M, t);
+  }
+  JacPt<T> o;
+  el_mul(c, o.X, M, M);
+  el_add(c, t, S, S);
+  el_sub(c, o.X, o.X, t);
+  el_sub(c, t, S, o.X);
+  el_mul(c, t, M, t);
+  el_add(c, t2, YYYY, YYYY);
+  el_add(c, t2, t2, t2);
+  el_add(c, t2, t2, t2);
+  el_sub(c, o.Y, t, t2);
+  el_add(c, t, a.Y, a.Z);
+  el_mul(c, t, t, t);
+  el_sub(c, t, t, YY);
+  el_sub(c, o.Z, t, ZZ);
+  r = o;
+}
+
+template <typename T>
+static void jac_add(const Ctx &c, const T &acoef, int a_zero, JacPt<T> &r,
+                    const JacPt<T> &a, const JacPt<T> &b) {
+  if (el_is_zero(c, a.Z)) {
+    r = b;
+    return;
+  }
+  if (el_is_zero(c, b.Z)) {
+    r = a;
+    return;
+  }
+  T Z1Z1, Z2Z2, U1, U2, S1, S2, t, H, Rr;
+  el_mul(c, Z1Z1, a.Z, a.Z);
+  el_mul(c, Z2Z2, b.Z, b.Z);
+  el_mul(c, U1, a.X, Z2Z2);
+  el_mul(c, U2, b.X, Z1Z1);
+  el_mul(c, t, b.Z, Z2Z2);
+  el_mul(c, S1, a.Y, t);
+  el_mul(c, t, a.Z, Z1Z1);
+  el_mul(c, S2, b.Y, t);
+  el_sub(c, H, U2, U1);
+  el_sub(c, Rr, S2, S1);
+  if (el_is_zero(c, H)) {
+    if (el_is_zero(c, Rr)) {
+      jac_dbl(c, acoef, a_zero, r, a);
+      return;
+    }
+    memset(&r, 0, sizeof(JacPt<T>));
+    return;
+  }
+  T I, J, rr2, V;
+  el_add(c, t, H, H);
+  el_mul(c, I, t, t);
+  el_mul(c, J, H, I);
+  el_add(c, rr2, Rr, Rr);
+  el_mul(c, V, U1, I);
+  JacPt<T> o;
+  el_mul(c, o.X, rr2, rr2);
+  el_sub(c, o.X, o.X, J);
+  T twoV;
+  el_add(c, twoV, V, V);
+  el_sub(c, o.X, o.X, twoV);
+  el_sub(c, t, V, o.X);
+  el_mul(c, t, rr2, t);
+  T S1J;
+  el_mul(c, S1J, S1, J);
+  el_add(c, S1J, S1J, S1J);
+  el_sub(c, o.Y, t, S1J);
+  el_add(c, t, a.Z, b.Z);
+  el_mul(c, t, t, t);
+  el_sub(c, t, t, Z1Z1);
+  el_sub(c, t, t, Z2Z2);
+  el_mul(c, o.Z, t, H);
+  r = o;
+}
+
+template <typename T>
+static void jac_mul_limbs(const Ctx &c, const T &acoef, int a_zero, JacPt<T> &r,
+                          const JacPt<T> &base, const u64 *e, int el) {
+  JacPt<T> acc;
+  memset(&acc, 0, sizeof(JacPt<T>));
+  int top = el * 64 - 1;
+  while (top >= 0 && !((e[top / 64] >> (top % 64)) & 1)) top--;
+  for (int bit = top; bit >= 0; bit--) {
+    jac_dbl(c, acoef, a_zero, acc, acc);
+    if ((e[bit / 64] >> (bit % 64)) & 1) jac_add(c, acoef, a_zero, acc, acc, base);
+  }
+  r = acc;
+}
+
+template <typename T>
+static int g2_check_impl(const Ctx &c, const T &acoef, int a_zero, int n,
+                         int deg, const u64 *bases, const unsigned char *inf,
+                         const u64 *scalar_r) {
+  int bad = 0;
+  for (int i = 0; i < n; i++) {
+    if (inf && inf[i]) continue;
+    JacPt<T> b;
+    const u64 *pb = bases + (size_t)i * 2 * deg * c.nl;
+    Fp *bx = (Fp *)&b.X;
+    Fp *by = (Fp *)&b.Y;
+    for (int j = 0; j < deg; j++) {
+      fp_from_std(c, bx[j], pb + (size_t)j * c.nl);
+      fp_from_std(c, by[j], pb + (size_t)(deg + j) * c.nl);
+    }
+    memset(&b.Z, 0, sizeof(T));
+    ((Fp *)&b.Z)[0] = c.one;
+    JacPt<T> res;
+    jac_mul_limbs(c, acoef, a_zero, res, b, scalar_r, c.nl);
+    if (!el_is_zero(c, res.Z)) bad++;
+  }
+  return bad;
+}
+
 template <int D>
 static int tate_pairing_impl(const Ctx &x, int n, const u64 *g1,
                              const u64 *q_kh, const unsigned char *inf,
@@ -1760,6 +1918,33 @@ int g16_g1_msm(void *ctx, int n, const u64 *bases, const unsigned char *inf,
   fp_to_std(c, out_xy, x);
   fp_to_std(c, out_xy + c.nl, y);
   return 0;
+}
+
+// Batch G2 subgroup check over a degree-`deg` coordinate ring
+// (1 = Fq e.g. BW6, 2 = Fp2, 3 = Fp3).  a2: deg*nl std-form limbs of
+// the twist's a coefficient.  Returns the number of failing points.
+int g16_g2_subgroup_check(void *ctx, int deg, const u64 *a2, int n,
+                          const u64 *bases, const unsigned char *inf,
+                          const u64 *scalar_r) {
+  Ctx &c = *(Ctx *)ctx;
+  if (deg == 1) {
+    Fp a;
+    fp_from_std(c, a, a2);
+    return g2_check_impl<Fp>(c, a, fp_is_zero(c, a), n, 1, bases, inf, scalar_r);
+  }
+  if (deg == 2) {
+    Kh<2> a;
+    for (int j = 0; j < 2; j++) fp_from_std(c, a.c[j], a2 + (size_t)j * c.nl);
+    return g2_check_impl<Kh<2>>(c, a, kh_is_zero<2>(c, a), n, 2, bases, inf,
+                                scalar_r);
+  }
+  if (deg == 3) {
+    Kh<3> a;
+    for (int j = 0; j < 3; j++) fp_from_std(c, a.c[j], a2 + (size_t)j * c.nl);
+    return g2_check_impl<Kh<3>>(c, a, kh_is_zero<3>(c, a), n, 3, bases, inf,
+                                scalar_r);
+  }
+  return -1;
 }
 
 // Batch subgroup check: all bases must satisfy r * P == O.

@@ -134,6 +134,23 @@ def _ser_fp_point(pt, p: int, compress: bool) -> bytes:
     return _ser_fp(x, p) + _ser_fp(y, p, flags)
 
 
+def _g2_subgroup_ok(c: CurveParams, pt) -> bool:
+    """G2 subgroup membership: native batch scalar-mul when available,
+    Python point loop otherwise (ark-serialize Validate::Yes)."""
+    from groth16_tpu.native import native_pairing
+    from groth16_tpu.ref import curve as rc
+
+    nat = native_pairing(c.name)
+    if nat is not None:
+        return nat.g2_subgroup_check([pt]) == 0
+    a2 = getattr(c, "a2", None)
+    if c.g2_over_base:
+        return rc.mul_fp(c.p, pt, c.r) is None
+    from groth16_tpu.ref.group import g2_field_ctx
+
+    return rc.mul_fp2(g2_field_ctx(c), c.b2, pt, c.r, A2=a2) is None
+
+
 def _de_fp_point(r: io.BytesIO, c: CurveParams, b: int, compress: bool,
                  validate: bool):
     """Deserialize an affine Fq-coordinate point on y^2 = x^3 + b."""
@@ -161,7 +178,7 @@ def _de_fp_point(r: io.BytesIO, c: CurveParams, b: int, compress: bool,
 
         if not rc.is_on_curve_fp(p, b, pt):
             raise SerializationError("point not on curve")
-        if rc.mul_fp(p, pt, c.r) is not None:
+        if not _g2_subgroup_ok(c, pt):
             raise SerializationError("point not in subgroup")
     return pt
 
@@ -250,7 +267,7 @@ def _de_ext_point(r: io.BytesIO, c: CurveParams, compress: bool, validate: bool)
     if validate:
         if not rc.is_on_curve_fp2(kh, c.b2, pt, A2=A2):
             raise SerializationError("point not on twist curve")
-        if rc.mul_fp2(kh, c.b2, pt, c.r, A2=A2) is not None:
+        if not _g2_subgroup_ok(c, pt):
             raise SerializationError("point not in subgroup")
     return pt
 
@@ -301,7 +318,7 @@ def de_g2(r: io.BytesIO, c: CurveParams, compress: bool = True, validate: bool =
         a2 = getattr(c, "a2", None)
         if not rc.is_on_curve_fp2(k2, c.b2, pt, A2=a2):
             raise SerializationError("point not on twist curve")
-        if rc.mul_fp2(k2, c.b2, pt, c.r, A2=a2) is not None:
+        if not _g2_subgroup_ok(c, pt):
             raise SerializationError("point not in subgroup")
     return pt
 

@@ -120,6 +120,45 @@ def test_native_subgroup_check():
     assert nat.g1_subgroup_check(good + [bad]) == 1
 
 
+@pytest.mark.parametrize("name", NATIVE_CURVES + NATIVE_TATE_CURVES)
+def test_native_g2_subgroup_check(name):
+    """G2 subgroup membership over every coordinate-ring degree
+    (Fq / Fp2 / Fp3, a = 0 and a != 0) must match the Python engine."""
+    from groth16_tpu.ref import curve as rc
+
+    nat = _require(name)
+    ref = RefGroups(name)
+    good = [ref.g2_sample(i + 2) for i in range(3)]
+    assert nat.g2_subgroup_check(good) == 0
+    assert nat.g2_subgroup_check([None] + good) == 0
+    # negated / doubled points stay in the subgroup; a wrong-order point
+    # must fail.  Build one by sampling a curve point and checking its
+    # order with the Python engine (cofactor > 1 on these G2 groups).
+    c = get_curve(name)
+    bad = None
+    if c.g2_over_base:
+        from groth16_tpu.ref.field import sqrt_fp
+
+        x = 2
+        while bad is None:
+            x += 1
+            y = sqrt_fp((x * x * x + c.b2) % c.p, c.p)
+            if y is not None and rc.mul_fp(c.p, (x, y), c.r) is not None:
+                bad = (x, y)
+    else:
+        from groth16_tpu.ref.group import g2_field_ctx
+
+        kh = g2_field_ctx(c)
+        a2 = getattr(c, "a2", None)
+        seed = 0
+        while bad is None:
+            seed += 1
+            pt = rc.sample_point_fp2(kh, c.b2, seed=seed, A2=a2)
+            if rc.mul_fp2(kh, c.b2, pt, c.r, A2=a2) is not None:
+                bad = pt
+    assert nat.g2_subgroup_check(good + [bad]) == 1
+
+
 @pytest.mark.parametrize("name", ["bn254", "bls12_381", "mnt4_298"])
 def test_native_verify_roundtrip(name):
     """verify_proof dispatches through the native engine and must agree
