@@ -30,10 +30,29 @@ in the output — never presented as a measurement.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Probe the TPU tunnel in a SUBPROCESS before touching jax in-process:
+# when the tunnel is down, backend init blocks forever (uninterruptible
+# C call) and the bench would hang rather than fail.  See
+# tests/conftest.py for the same guard.
+_probe_s = int(os.environ.get("G16_BENCH_PROBE_TIMEOUT_S", "300"))
+try:
+    subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        timeout=_probe_s, check=True, capture_output=True,
+    )
+except Exception as e:
+    print(json.dumps({
+        "metric": "prove_wall", "value": None, "unit": "s",
+        "vs_baseline": None,
+        "extras": {"error": f"tpu backend unavailable ({type(e).__name__})"},
+    }))
+    sys.exit(1)
 
 import jax
 
@@ -150,13 +169,18 @@ def main():
                        ).choose_window_bits(n_pad, c.r.bit_length()),
         )
 
-    # verify latency (benches/bench.rs:97-124; exact-int host verifier —
-    # reported honestly even though it is not a device path yet)
+    # verify latency, 50 reps like the reference (benches/bench.rs:97-124);
+    # runs the native C++ host engine (groth16_tpu/native) when available
     t0 = time.time()
-    reps = 3
+    reps = 50
     for _ in range(reps):
         verify_proof(pvk, proof, [a * b % c.r])
-    extras["verify_latency_s"] = round((time.time() - t0) / reps, 3)
+    extras["verify_latency_s"] = round((time.time() - t0) / reps, 5)
+    from groth16_tpu.native import native_pairing
+
+    extras["verify_engine"] = (
+        "native" if native_pairing(CURVE) is not None else "python"
+    )
 
     # evaluate_constraint microbench (benches/bench.rs:126-150 analog):
     # device sparse matvec at nnz = 10^2..10^5
