@@ -164,6 +164,53 @@ def bits_of(cs: ConstraintSystem, value: Optional[int], nbits: int) -> List[Bool
     return out
 
 
+def to_bits_le(x: FpVar) -> List[Boolean]:
+    """Canonical little-endian bit decomposition of a field variable
+    (ark-r1cs-std `ToBitsGadget::to_bits_le` analog): allocates
+    modulus-bit-length bit witnesses, enforces their weighted sum equals
+    x, and enforces the bitstring <= p - 1 so the decomposition is the
+    UNIQUE canonical representative (ark's `enforce_in_field_le`)."""
+    cs = x.cs
+    p = cs.modulus
+    nbits = p.bit_length()
+    bits = bits_of(cs, x.value, nbits)
+    # recomposition: sum 2^i b_i == x  (one linear constraint)
+    acc = FpVar.constant(cs, 0)
+    for i, b in enumerate(bits):
+        acc = acc + b.var.scale(1 << i)
+    acc.enforce_equal(x)
+    # canonicity: bits <= p - 1, walking from the MSB with an
+    # "all-higher-bits-equal" indicator eq; where (p-1)'s bit is 0 an
+    # eq-chain 1-bit would exceed p-1, so enforce eq * b = 0 there.
+    c = p - 1
+    eq = FpVar.constant(cs, 1)
+    for i in range(nbits - 1, -1, -1):
+        if (c >> i) & 1:
+            eq = eq.mul(bits[i].var)
+        else:
+            cs.enforce_constraint(
+                eq.lc, bits[i].var.lc, LinearCombination.zero()
+            )
+    return bits
+
+
+def to_bytes_le(x: FpVar) -> List[FpVar]:
+    """ark-r1cs-std `ToBytesGadget::to_bytes_le` analog: the canonical
+    bits packed into byte variables (each byte a FREE linear combination
+    of its 8 bits), little-endian, ceil(|p|/8) bytes."""
+    cs = x.cs
+    bits = to_bits_le(x)
+    while len(bits) % 8:
+        bits.append(Boolean.constant(cs, False))
+    out = []
+    for i in range(0, len(bits), 8):
+        byte = FpVar.constant(cs, 0)
+        for j in range(8):
+            byte = byte + bits[i + j].var.scale(1 << j)
+        out.append(byte)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Extension-field variables (towers mirror groth16_tpu/ref/field.py exactly)
 # ---------------------------------------------------------------------------
