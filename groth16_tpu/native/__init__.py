@@ -23,14 +23,12 @@ import hashlib
 import os
 import subprocess
 import sys
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src", "pairing.cpp")
 _CACHE_DIR = os.path.join(
     os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "g16_native"
 )
-
-_MAXL = 12
 
 
 def _build_so() -> Optional[str]:

@@ -18,10 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #     devices self-skip.
 import jax  # noqa: E402
 
-_platform = os.environ.get("GROTH16_TEST_PLATFORM", "auto")
-if _platform == "cpu":
+
+def _cpu_fallback():
+    """Select the 8-virtual-device CPU backend, with the LLVM flags the
+    limb-engine graphs need there: XLA:CPU's default pipeline SEGFAULTS
+    compiling the largest point-formula functions (mnt6's Fp3 G2 MSM —
+    an expensive LLVM pass blows up; reproducer: scratch notes), and
+    opt-level 0 both avoids it and cuts the dominant compile time.
+    Numerics are unaffected — integer ops are exact at any opt level."""
+    flags = "--xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + flags).strip()
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+
+
+_platform = os.environ.get("GROTH16_TEST_PLATFORM", "auto")
+if _platform == "cpu":
+    _cpu_fallback()
 elif _platform == "auto":
     # Prefer the attached TPU (limb-engine graphs compile ~20x faster
     # there than on the single-core CPU backend); fall back to the
@@ -42,8 +55,7 @@ elif _platform == "auto":
             capture_output=True,
         )
     except Exception:
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", 8)
+        _cpu_fallback()
 
 # Persistent compilation cache: limb-engine graphs are big; recompiling
 # them on every run would dominate wall-clock.
