@@ -28,15 +28,8 @@ from jax.sharding import PartitionSpec as P
 from groth16_tpu.fields import fp
 from groth16_tpu.fields.spec import FpSpec, encode
 from groth16_tpu.ntt.ntt import NttDomain, _ntt_core, powers
+from groth16_tpu.par.collectives import transpose_a2a as _transpose_a2a
 from groth16_tpu.par.mesh import DATA_AXIS, axis_size
-
-
-def _transpose_a2a(x: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """Global [L, R, C] (R sharded) -> [L, C, R] (C sharded): all_to_all
-    + local transpose.  x local view: [L, R/S, C] -> [L, C/S, R]."""
-    y = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
-    # y: [L, R, C/S] local; transpose the row axes
-    return jnp.swapaxes(y, 1, 2)
 
 
 def _geometric_rows(spec: FpSpec, row_bases: jnp.ndarray, n_cols: int) -> jnp.ndarray:

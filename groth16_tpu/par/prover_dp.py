@@ -58,20 +58,11 @@ def msm_sharded_lanes(
 
     def local(pts, sc):
         acc = msm_device_lanes(g, pts, sc, scalar_bits, window_bits)
-        # combine the S shard partials: gather to a trailing batch axis,
-        # then log2(S) halving adds
-        red = tuple(
-            jax.lax.all_gather(x, axis, axis=x.ndim) for x in acc
-        )  # [*coords, lanes, S]
-        m = S
-        while m > 1:
-            h = m // 2
-            red = g.add(
-                tuple(x[..., :h] for x in red),
-                tuple(x[..., h:m] for x in red),
-            )
-            m = h
-        return tuple(x[..., 0] for x in red)  # [*coords, lanes]
+        # combine the S shard partials: all_gather + log2(S) tree combine
+        # under the point-add monoid (par/collectives.py)
+        from groth16_tpu.par.collectives import gather_tree_reduce
+
+        return gather_tree_reduce(g.add, acc, axis)  # [*coords, lanes]
 
     def leaf_spec(x):
         return P(*([None] * (x.ndim - 1)), axis)
