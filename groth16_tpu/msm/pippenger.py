@@ -18,12 +18,15 @@ Per c-bit window w:
      one u32 the sort key packs all three, so the sorted keys double as
      the searchsorted operand AND the gather index (half the sorted
      bytes, no payload array).
-  3. Two-level suffix scan (msm/scans.py): within-chunk `lax.scan` +
-     Hillis-Steele across chunk totals — ~N vectorized point-adds, each
-     a 13-mul mixed (projective+affine) complete add.
+  3. Two-level suffix CAPTURE scan (msm/scans.py): within-chunk
+     fori_loop of C-wide 13-mul mixed (projective+affine) complete adds
+     + a cross pass over chunk totals — ~N point-adds total.  The scan
+     captures only the B-1 bucket-boundary values (positions known
+     up front from searchsorted on the sorted keys) instead of
+     materializing all N projective prefix values in HBM.
   4. Pippenger identity  sum_d d*S_d = sum_{v=1}^{B-1} G_v  where
      G_v = sum of points with digit >= v = suffix-scan value at
-     searchsorted(digits, v): a B-point gather, no scatter, no
+     searchsorted(digits, v): captured in-flight, no scatter, no
      per-bucket extraction.
   5. window_sum = reduce(G_1..G_{B-1}); Horner: res = 2^c * res + w_sum.
 
@@ -287,7 +290,7 @@ def msm_device_lanes(
         _pick_chunks,
         _roll,
         scan_points,
-        scan_storage_mixed,
+        scan_storage_mixed_capture,
     )
 
     C = _pick_chunks(npad, 4096)  # noqa: shared across groups
@@ -318,6 +321,18 @@ def msm_device_lanes(
         # searchsorted as-is.  gidx selects the (possibly y-negated)
         # element-major row.
         #
+        # bucket boundaries are known BEFORE the scan (searchsorted on
+        # the sorted keys): target v lives at sorted position j = chunk
+        # jc, within-chunk step jk — the scan below captures exactly
+        # those T = B-1 values in flight instead of materializing all
+        # npad projective prefix values in HBM
+        first_ge = jax.vmap(
+            lambda d, v: jnp.searchsorted(d, v, side="left")
+        )(sorted_keys.reshape(lanes * wg, npad), v_targets)
+        first_ge = first_ge.reshape(lanes, wg, B - 1)
+        valid = first_ge < npad
+        j = jnp.minimum(first_ge, npad - 1).astype(jnp.int32)
+        jk, jc = j % K, j // K
         # compose the step-major storage transpose (sorted position
         # j = c*K + k stored at k*C + c) into the GATHER indices — the
         # index array is transposed, never the gathered point data
@@ -332,22 +347,16 @@ def msm_device_lanes(
         back = jnp.moveaxis(rows, -1, 0)  # [2*ce, lanes, wg, npad]
         xg = back[:ce].reshape(cs + (lanes, wg, npad))
         yg = back[ce:].reshape(cs + (lanes, wg, npad))
-        within_t, totals = scan_storage_mixed(g, (xg, yg), K, C, reverse=True)
+        cap, totals = scan_storage_mixed_capture(
+            g, (xg, yg), K, C, jk, jc, reverse=True
+        )
         # suffix scan over chunk totals (1/K of the data): classic path
         cross_incl = scan_points(g, totals, reverse=True, max_chunks=512)
         cross_excl = _roll(cross_incl, -1)
         cmask = jnp.arange(C) < C - 1
         cross_excl = g.select(cmask, cross_excl, g.infinity((lanes, wg, C)))
-        first_ge = jax.vmap(
-            lambda d, v: jnp.searchsorted(d, v, side="left")
-        )(sorted_keys.reshape(lanes * wg, npad), v_targets)
-        first_ge = first_ge.reshape(lanes, wg, B - 1)
-        valid = first_ge < npad
-        j = jnp.minimum(first_ge, npad - 1).astype(jnp.int32)
-        jk, jc = j % K, j // K
-        flat = jk * C + jc  # step-major storage index of sorted position j
         gv = g.add(
-            tuple(x[..., l_iota, w_iota, flat] for x in within_t),
+            cap,
             tuple(x[..., l_iota, w_iota, jc] for x in cross_excl),
         )  # batch (lanes, wg, B-1)
         gv = g.select(valid, gv, g.infinity((lanes, wg, B - 1)))

@@ -138,56 +138,48 @@ def scan_points(
     return tuple(x.reshape(x.shape[:-2] + (N,)) for x in out)
 
 
-def scan_storage(g: CurveDevice, pts_T: Point, K: int, C: int,
-                 reverse: bool = False):
-    """Within-chunk inclusive scan in STEP-MAJOR storage.
+def scan_storage_mixed_capture(g: CurveDevice, xy_T, K: int, C: int,
+                               jk: jnp.ndarray, jc: jnp.ndarray,
+                               reverse: bool = False):
+    """Within-chunk inclusive scan in STEP-MAJOR storage over AFFINE
+    rows (infinity encoded (0, 0)), CAPTURING only T requested positions.
 
-    pts_T leaves: [.., N] with N = K*C where storage index k*C + c holds
-    position k of chunk c (the caller lays data out this way — for the
-    MSM it composes the transpose into the gather indices, so no bulk
-    data transpose ever materializes).  Step k is one CONTIGUOUS C-wide
-    slice; lax.scan's leading-axis requirement (which forces a full-data
-    transpose) is avoided via fori_loop + dynamic slices.
+    xy_T leaves: [.., N] with N = K*C where storage index k*C + c holds
+    position k of chunk c (the caller composes this transpose into its
+    gather indices, so no bulk data transpose ever materializes).  Step k
+    is one CONTIGUOUS C-wide slice of a projective+affine complete add
+    (13 muls, no Z2 plane in HBM); lax.scan's leading-axis requirement
+    (which forces a full-data transpose) is avoided via fori_loop +
+    dynamic slices.
 
-    Returns (within_T [.., N] same storage, chunk totals [.., C]).
+    jk/jc: int32[*lead, T] — capture target t wants the inclusive scan
+    value of chunk jc[t] at within-chunk position jk[t] (for the MSM
+    these are the searchsorted bucket boundaries, known BEFORE the scan).
+    Capturing in-flight replaces materializing all N projective prefix
+    values in HBM and gathering T of them afterwards — the scan's store
+    traffic drops from 3 coords x N to 3 coords x T per pass
+    (T = buckets - 1 << N).
+
+    Returns (captured [.., T] projective, chunk totals [.., C]).
     """
-    lead = g.batch_shape(pts_T)[:-1]
-
-    def body(i, carry):
-        acc, out = carry
-        k = K - 1 - i if reverse else i
-        start = k * C
-        row = tuple(
-            jax.lax.dynamic_slice_in_dim(x, start, C, axis=-1) for x in pts_T
-        )
-        acc = g.add(acc, row)
-        out = tuple(
-            jax.lax.dynamic_update_slice_in_dim(o, a, start, axis=-1)
-            for o, a in zip(out, acc)
-        )
-        return (acc, out)
-
-    init = (
-        g.infinity(lead + (C,)),
-        tuple(jnp.zeros_like(x) for x in pts_T),
-    )
-    acc, out = jax.lax.fori_loop(0, K, body, init)
-    return out, acc
-
-
-def scan_storage_mixed(g: CurveDevice, xy_T, K: int, C: int,
-                       reverse: bool = False):
-    """Within-chunk inclusive scan in step-major storage over AFFINE
-    rows (infinity encoded (0, 0)) — the mixed-addition variant of
-    scan_storage: each step is one projective+affine complete add
-    (13 muls, no Z2 plane in HBM).  Returns (within_T projective
-    [.., N], chunk totals [.., C])."""
     x_T, y_T = xy_T
     cd = g.k.coord_ndim
     lead = x_T.shape[cd:-1]
+    T = jk.shape[-1]
+    lead_iotas = tuple(
+        jnp.broadcast_to(
+            jnp.arange(d, dtype=jnp.int32).reshape(
+                (1,) * i + (d,) + (1,) * (len(lead) - i)
+            ),
+            lead + (T,),
+        )
+        for i, d in enumerate(lead)
+    )
+    jk = jk.astype(jnp.int32)
+    jc = jc.astype(jnp.int32)
 
     def body(i, carry):
-        acc, out = carry
+        acc, cap = carry
         k = K - 1 - i if reverse else i
         start = k * C
         row = tuple(
@@ -195,19 +187,14 @@ def scan_storage_mixed(g: CurveDevice, xy_T, K: int, C: int,
             for x in (x_T, y_T)
         )
         acc = g.add_affine(acc, row)
-        out = tuple(
-            jax.lax.dynamic_update_slice_in_dim(o, a, start, axis=-1)
-            for o, a in zip(out, acc)
-        )
-        return (acc, out)
+        # capture acc[.., jc[t]] where jk[t] == k (inclusive: after add)
+        acc_at = tuple(x[(Ellipsis,) + lead_iotas + (jc,)] for x in acc)
+        cap = g.select(jk == k, acc_at, cap)
+        return (acc, cap)
 
-    shape3 = x_T.shape[:-1] + (x_T.shape[-1],)
-    init = (
-        g.infinity(lead + (C,)),
-        tuple(jnp.zeros(shape3, x_T.dtype) for _ in range(3)),
-    )
-    acc, out = jax.lax.fori_loop(0, K, body, init)
-    return out, acc
+    init = (g.infinity(lead + (C,)), g.infinity(lead + (T,)))
+    acc, cap = jax.lax.fori_loop(0, K, body, init)
+    return cap, acc
 
 
 def reduce_points(g: CurveDevice, pts: Point) -> Point:
