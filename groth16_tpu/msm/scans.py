@@ -156,9 +156,12 @@ def scan_storage_mixed_capture(g: CurveDevice, xy_T, K: int, C: int,
     value of chunk jc[t] at within-chunk position jk[t] (for the MSM
     these are the searchsorted bucket boundaries, known BEFORE the scan).
     Capturing in-flight replaces materializing all N projective prefix
-    values in HBM and gathering T of them afterwards — the scan's store
-    traffic drops from 3 coords x N to 3 coords x T per pass
-    (T = buckets - 1 << N).
+    values in HBM and gathering T of them afterwards.  The win is HBM
+    CAPACITY (no N-sized projective prefix buffer, which is what lets
+    window groups grow), not necessarily traffic: the per-step gather +
+    select touches ~3 coords x T on each of the K steps (~3·K·T total),
+    which can exceed the old 3·N prefix store when T = B-1 >= C (wide
+    windows, c >= 13 at 4096 chunks).
 
     Returns (captured [.., T] projective, chunk totals [.., C]).
     """
