@@ -21,6 +21,12 @@ class EngineConfig:
     # on TPU where compiles are cheap) or keep it a lax.scan (small
     # graphs — right for the CPU backend where compile time dominates).
     cios_unroll: bool = False
+    # Batches at or below this element count force the unrolled CIOS on
+    # the TPU backend only (a width-1 L-step lax.scan is pure dispatch
+    # overhead over a device tunnel).  Off-TPU the scan path always
+    # wins: XLA:CPU while-loops are cheap to run and the unrolled graph
+    # is ~10x more HLO to compile (the round-2 dryrun_multichip timeout).
+    cios_small_unroll_max: int = 128
     # Pallas kernel dispatch: "auto" = use Pallas kernels when the active
     # JAX backend is TPU; "on" = always (interpret-mode off-TPU is NOT
     # implied — "on" off-TPU will fail to lower); "off" = pure XLA.
@@ -41,6 +47,13 @@ class EngineConfig:
     # HBM budget for one window-group's gathered point copies (the MSM
     # batches windows into groups; ~3x this is the peak extra footprint).
     msm_group_bytes: int = 3 << 28  # 768 MiB
+    # Chunk-count cap for the MSM suffix scan (scans.py): larger C means
+    # fewer in-loop capture steps (K = npad / C) at the price of a wider
+    # cross pass over chunk totals.
+    msm_max_chunks: int = 4096
+    # Relative cost of one bucket-tail slot vs one suffix-scan point add
+    # in the window chooser (see pippenger.choose_window_bits).
+    msm_bucket_cost: int = 50
 
 
 CONFIG = EngineConfig()

@@ -290,9 +290,14 @@ def _mont_mul_xla(spec: FpSpec, a, b, batch_shape) -> jnp.ndarray:
     for d in batch_shape:
         n_elems *= d
     # tiny batches (single points in proof assembly / Horner combines)
-    # always unroll: a nested L-step lax.scan per multiply costs ~L tiny
-    # device ops each — pure loop overhead at width 1
-    if CONFIG.cios_unroll or n_elems <= 128:
+    # unroll on TPU: a nested L-step lax.scan per multiply costs ~L tiny
+    # device ops each — pure loop overhead at width 1 over the tunnel.
+    # Off-TPU the scan stays: ~10x less HLO to compile (dryrun cost).
+    small = (
+        n_elems <= CONFIG.cios_small_unroll_max
+        and jax.default_backend() == "tpu"
+    )
+    if CONFIG.cios_unroll or small:
         for i in range(L):
             acc, _ = step(acc, a[i])
     else:

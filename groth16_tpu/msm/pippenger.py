@@ -60,16 +60,20 @@ from groth16_tpu.msm.scans import reduce_points
 def choose_window_bits(n: int, scalar_bits: int, signed: bool = False) -> int:
     """Minimize windows*(n + KB*buckets) over c in [4, 16].
 
-    KB weights the bucket tail (gather + reduce of B points) against one
-    suffix-scan add; measured ~6x on the fused-kernel path (the tail's
-    narrow reduce levels run below full device width).  Signed digits
-    halve the bucket count (magnitudes in [0, 2^(c-1)]) at the price of
-    one carry window, so the chooser usually lands one bit wider."""
+    KB weights the per-bucket tail cost (searchsorted target, in-scan
+    capture, gv add, reduce level) against one suffix-scan add.  The
+    round-3 TPU stage profile at 2^16 put the tail at ~7.5 us/bucket vs
+    ~0.14 us/point-add (searchsorted and the capture gathers run far
+    below the fused add kernel's rate), i.e. KB ~ 50 — wide windows
+    (c = 12-13) buy few scan passes but drown in bucket overhead; the
+    optimum sits at c ~ 9-10 for 2^16..2^20.  Signed digits halve the
+    bucket count (magnitudes in [0, 2^(c-1)]) at the price of one carry
+    window."""
     best_c, best_cost = 4, None
     for c in range(4, 17):
         windows = -(-scalar_bits // c) + (1 if signed else 0)
         buckets = (1 << (c - 1)) if signed else (1 << c)
-        cost = windows * (n + 6 * buckets)
+        cost = windows * (n + CONFIG.msm_bucket_cost * buckets)
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -293,7 +297,7 @@ def msm_device_lanes(
         scan_storage_mixed_capture,
     )
 
-    C = _pick_chunks(npad, 4096)  # noqa: shared across groups
+    C = _pick_chunks(npad, CONFIG.msm_max_chunks)  # noqa: shared across groups
     K = npad // C
 
     def group_sums(digits_g, signs_g) -> Point:

@@ -119,7 +119,15 @@ def witness_map_sharded(
 
 
 class ShardedProver:
-    """Multi-device prover over a 1D mesh (SURVEY.md §2.4 msm_dp+ntt_cp)."""
+    """Multi-device prover over a 1D mesh (SURVEY.md §2.4 msm_dp+ntt_cp).
+
+    The prove runs as a sequence of SMALL per-op device programs (each
+    jitted once per (curve, mesh, shape) and reused across the 7 NTTs /
+    repeated matvecs) rather than one monolithic program: the fused
+    module held 7 inlined copies of the four-step NTT graph and its
+    XLA compile dominated the multi-chip dryrun (~5 min on XLA:CPU at
+    8 virtual devices).  Intermediates stay on device; shardings ride
+    the arrays between programs."""
 
     def __init__(self, pk: ProvingKey, matrices: ConstraintMatrices, mesh=None,
                  axis: str = DATA_AXIS):
@@ -155,22 +163,69 @@ class ShardedProver:
             self.mesh, self.dpk.b_g2_tail, axis
         )
         self.sntt = ShardedNtt(self.dpk.domain, self.mesh, axis)
-        self._jit = jax.jit(
-            functools.partial(_prove_sharded, self.curve, self.mesh, self.axis)
-        )
 
     def encode_assignment(self, full_assignment):
         return jnp.asarray(encode(list(full_assignment), self.fr))
 
+    def _witness_ops(self, z_mont):
+        """Sharded witness map as per-op programs; bit-identical op
+        sequence to witness_map_sharded (r1cs_to_qap.rs:172-235)."""
+        from groth16_tpu.protocol.prover_tpu import (
+            _matvec_jit,
+            _mul_jit,
+            _subscale_jit,
+        )
+        from groth16_tpu.utils.jitcache import jit_with_static
+
+        curve, mesh, axis = self.curve, self.mesh, self.axis
+        dpk = self.dpk
+        dom = self.sntt.domain
+        n = dom.size
+        nc, ni = dpk.num_constraints, dpk.num_inputs
+        num = nc + ni
+        splice = jit_with_static(_splice_op, curve, mesh, axis, (nc, ni, n))
+        pad = jit_with_static(_pad_op, curve, mesh, axis, (nc, n))
+        ifft = jit_with_static(_ntt_op, curve, num, mesh, axis, "ifft")
+        cfft = jit_with_static(_ntt_op, curve, num, mesh, axis, "coset_fft")
+        cifft = jit_with_static(_ntt_op, curve, num, mesh, axis, "coset_ifft")
+
+        a = splice(_matvec_jit(curve, dpk.mats["a"], z_mont), z_mont)
+        b = pad(_matvec_jit(curve, dpk.mats["b"], z_mont))
+        a = cfft(ifft(a))
+        b = cfft(ifft(b))
+        ab = _mul_jit(curve, a, b)
+        cr = pad(_matvec_jit(curve, dpk.mats["c"], z_mont))
+        cr = cfft(ifft(cr))
+        p = self.fr.modulus
+        zg = dom.evaluate_vanishing_polynomial(dom.field.generator)
+        zg_inv = pow(zg, p - 2, p)
+        ab = _subscale_jit(curve, ab, zg_inv, cr)
+        h_mont = cifft(ab)
+        return jit_with_static(_scalar_stack_op, curve, mesh, axis)(
+            dpk, h_mont, z_mont
+        )
+
     def prove(self, full_assignment, r: int, s: int) -> Proof:
+        from groth16_tpu.protocol.prover_tpu import _assembly_jit
+        from groth16_tpu.utils.jitcache import jit_with_static
+
         rr = self.c.r
         r %= rr
         s %= rr
         nbits = rr.bit_length()
         z = self.encode_assignment(full_assignment)
-        out = self._jit(
+        scalars4, rho_std = self._witness_ops(z)
+        acc4 = jit_with_static(
+            _msm_g1_op, self.curve, self.mesh, self.axis
+        )(self.dpk, scalars4)
+        b2_acc = jit_with_static(
+            _msm_g2_op, self.curve, self.mesh, self.axis
+        )(self.dpk, rho_std)
+        out = _assembly_jit(
+            self.curve,
             self.dpk,
-            z,
+            acc4,
+            b2_acc,
             scalar_bits_array(r, nbits),
             scalar_bits_array(s, nbits),
             scalar_bits_array(r * s % rr, nbits),
@@ -212,24 +267,98 @@ def _g1_scalar_stack(fr, mesh, axis, dpk: DeviceProvingKey, z_mont,
     return scalars4, rho_std
 
 
-def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
-                   r_bits, s_bits, rs_bits):
+# -- per-op device programs for the sharded prove --------------------------
+# Each is jitted once per (curve, mesh, static-shape) key via
+# utils.jitcache.jit_with_static and reused across calls (the 3 iNTTs /
+# 3 coset NTTs of a prove share ONE compiled program, etc.).
+
+
+@functools.lru_cache(maxsize=None)
+def _sntt_cached(curve: str, num_coeffs: int, mesh, axis) -> ShardedNtt:
+    from groth16_tpu.ntt.ntt import NttDomain
+
+    c = get_curve(curve)
+    return ShardedNtt(NttDomain(c.fr, num_coeffs), mesh, axis)
+
+
+def _ntt_op(curve, num_coeffs, mesh, axis, kind, a):
+    sntt = _sntt_cached(curve, num_coeffs, mesh, axis)
+    return {
+        "ifft": sntt.ifft,
+        "coset_fft": sntt.coset_fft,
+        "coset_ifft": sntt.coset_ifft,
+    }[kind](a)
+
+
+def _splice_op(curve, mesh, axis, cfg, rows, z_mont):
+    """Input-consistency splice + zero-pad, sharded placement
+    (r1cs_to_qap.rs:195-199)."""
+    nc, ni, n = cfg
     c = get_curve(curve)
     fr = make_spec(c.r, name=f"{curve}.Fr")
-    g1 = codec.g1_ops(c)
-    g2 = codec.g2_ops(c)
-    sbits = c.r.bit_length()
-    num_inputs = dpk.num_inputs
-    scalars4, rho_std = _g1_scalar_stack(
-        fr, mesh, axis, dpk, z_mont, num_inputs
+    a = jnp.concatenate([rows[:, :nc], z_mont[:, :ni]], axis=-1)
+    if a.shape[-1] < n:
+        a = jnp.concatenate([a, fp.zeros(fr, (n - a.shape[-1],))], axis=-1)
+    return jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh, P(None, axis))
     )
-    acc4 = msm_sharded_lanes(g1, dpk.g1_msm_points, scalars4, sbits, mesh, axis)
-    a_acc = tuple(x[..., 0] for x in acc4)
-    b1_acc = tuple(x[..., 1] for x in acc4)
-    h_acc = tuple(x[..., 2] for x in acc4)
-    l_aux_acc = tuple(x[..., 3] for x in acc4)
 
-    # G2 MSM: single lane, padded to a shardable length
+
+def _pad_op(curve, mesh, axis, cfg, rows):
+    nc, n = cfg
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    a = rows[:, :nc]
+    if a.shape[-1] < n:
+        a = jnp.concatenate([a, fp.zeros(fr, (n - a.shape[-1],))], axis=-1)
+    return jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh, P(None, axis))
+    )
+
+
+def _scalar_stack_op(curve, mesh, axis, dpk: DeviceProvingKey, h_mont,
+                     z_mont):
+    """from_mont + pad + stack of the 4 G1 scalar lanes (prover.rs:63-113
+    scalar assembly), sharded on the element axis."""
+    c = get_curve(curve)
+    fr = make_spec(c.r, name=f"{curve}.Fr")
+    h_std = fp.from_mont(fr, h_mont)
+    z_std = fp.from_mont(fr, z_mont)
+    rho_std = z_std[:, 1:]
+    aux_std = z_std[:, dpk.num_inputs:]
+    n_pad = dpk.n_pad
+
+    def pad_to(s):
+        return jnp.pad(s, ((0, 0), (0, n_pad - s.shape[-1])))
+
+    scalars4 = jnp.stack(
+        [
+            pad_to(rho_std),
+            pad_to(rho_std),
+            pad_to(h_std[:, : dpk.n_h]),
+            pad_to(aux_std[:, : dpk.n_aux]),
+        ],
+        axis=0,
+    )
+    scalars4 = jax.lax.with_sharding_constraint(
+        scalars4, NamedSharding(mesh, P(None, None, axis))
+    )
+    return scalars4, rho_std
+
+
+def _msm_g1_op(curve, mesh, axis, dpk: DeviceProvingKey, scalars4):
+    c = get_curve(curve)
+    g1 = codec.g1_ops(c)
+    return msm_sharded_lanes(
+        g1, dpk.g1_msm_points, scalars4, c.r.bit_length(), mesh, axis
+    )
+
+
+def _msm_g2_op(curve, mesh, axis, dpk: DeviceProvingKey, rho_std):
+    """G2 MSM (b_g2_query tail): single lane, padded to a shardable
+    length."""
+    c = get_curve(curve)
+    g2 = codec.g2_ops(c)
     S = axis_size(mesh, axis)
     n2 = rho_std.shape[-1]
     n2_pad = -(-n2 // S) * S
@@ -245,40 +374,8 @@ def _prove_sharded(curve, mesh, axis, dpk: DeviceProvingKey, z_mont,
         g2,
         tuple(x[..., None, :] for x in g2_pts),
         sc2[None],
-        sbits,
+        c.r.bit_length(),
         mesh,
         axis,
     )
-    b2_acc = tuple(x[..., 0] for x in b2_acc_l)
-
-    delta3 = tuple(jnp.stack([x, x, x], axis=-1) for x in dpk.delta_g1)
-    bits3 = jnp.stack([r_bits, s_bits, rs_bits], axis=0)
-    rsd = g1.scalar_mul_bits(delta3, bits3)
-    r_delta, s_delta, rs_delta = (g1.index(rsd, i) for i in range(3))
-
-    def finish(initial, q0, acc, vk_param):
-        res = g1.add(initial, q0)
-        res = g1.add(res, acc)
-        return g1.add(res, vk_param)
-
-    g_a = finish(r_delta, dpk.a0, a_acc, dpk.alpha_g1)
-    g1_b = finish(s_delta, dpk.b10, b1_acc, dpk.beta_g1)
-    s_delta_g2 = g2.scalar_mul_bits(dpk.delta_g2, s_bits)
-    g2_b = g2.add(g2.add(g2.add(s_delta_g2, dpk.b20), b2_acc), dpk.beta_g2)
-
-    ab = tuple(jnp.stack([x, y], axis=-1) for x, y in zip(g_a, g1_b))
-    bits2 = jnp.stack([s_bits, r_bits], axis=0)
-    sab = g1.scalar_mul_bits(ab, bits2)
-    s_g_a = g1.index(sab, 0)
-    r_g1_b = g1.index(sab, 1)
-
-    g_c = g1.add(s_g_a, r_g1_b)
-    g_c = g1.add(g_c, g1.neg(rs_delta))
-    g_c = g1.add(g_c, l_aux_acc)
-    g_c = g1.add(g_c, h_acc)
-
-    ac = tuple(jnp.stack([x, y], axis=-1) for x, y in zip(g_a, g_c))
-    ax, ay, ainf = g1.to_affine(ac)
-    b_batch = tuple(x[..., None] for x in g2_b)
-    bx, by, binf = g2.to_affine(b_batch)
-    return (ax, ay, ainf, bx, by, binf)
+    return tuple(x[..., 0] for x in b2_acc_l)
