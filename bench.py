@@ -146,8 +146,6 @@ def main():
     # timed prove, as here via the on-device from_mont pass).  The Python
     # int -> limb encode + host->HBM upload is a frontend cost reported
     # separately below.
-    from groth16_tpu.protocol.prover_tpu import decode_proof_arrays
-
     t0 = time.time()
     z_enc = jax.block_until_ready(prover.encode_assignment(z))
     extras["assignment_encode_upload_s"] = round(time.time() - t0, 3)
@@ -157,8 +155,9 @@ def main():
     for i in range(3):
         r, s = rng.field_element(c.r), rng.field_element(c.r)
         t0 = time.time()
-        out = prover.prove_encoded(z_enc, r, s, timer=timer if i == 2 else None)
-        proof = decode_proof_arrays(CURVE, out)
+        proof = prover.prove_encoded_host(
+            z_enc, r, s, timer=timer if i == 2 else None
+        )
         times.append(time.time() - t0)
     wall = min(times)
     assert verify_proof(pvk, proof, [a * b % c.r]), "steady-state proof must verify"
@@ -166,22 +165,56 @@ def main():
     phases = timer.as_dict()
     extras["phases_s"] = {k: round(v, 3) for k, v in phases.items()}
 
-    # throughput metrics (BASELINE.json: MSM points/s, NTT butterflies/s)
+    # throughput + SoL metrics (BASELINE.json: MSM points/s, NTT
+    # butterflies/s, "profiled against speed-of-light per chip")
+    from groth16_tpu.curves import codec as _codec
+    from groth16_tpu.msm.pippenger import _bucket_cost, choose_window_bits
+    from groth16_tpu.utils.profiling import point_add_sol_per_s
+
     n_pad = prover.dpk.n_pad
-    msm_pts = 4 * n_pad + (len(pk.b_g2_query) - 1)
     if "msm_g1_x4" in phases:
+        fq_limbs = prover.dpk.g1_msm_points[0].shape[0]
+        sbits = c.r.bit_length()
+        g1_ops = _codec.g1_ops(c)
+        cbits = choose_window_bits(
+            n_pad, sbits, signed=True, bucket_cost=_bucket_cost(g1_ops)
+        )
+        n_g2 = len(pk.b_g2_query) - 1
+        g1_adds = 4 * msm_work_point_adds(n_pad, sbits, cbits)
+        g2_adds = msm_work_point_adds(n_g2, sbits, cbits)
+        extras["msm_window_bits"] = cbits
         extras["msm_g1_points_per_s"] = round(4 * n_pad / phases["msm_g1_x4"])
-        extras["msm_g2_points_per_s"] = round(
-            (len(pk.b_g2_query) - 1) / phases["msm_g2"]
+        extras["msm_g2_points_per_s"] = round(n_g2 / phases["msm_g2"])
+        # achieved point-adds/s vs the VPU speed-of-light for the 13-mul
+        # complete RCB mixed add (utils/profiling.py SoL model): the
+        # "msm_*_sol_frac" numbers are the fraction of chip peak the
+        # whole MSM pipeline (digits, sort, gathers, scan, tail)
+        # sustains — 1.0 would mean the VPU never stalls and every
+        # non-add stage is free.
+        extras["msm_g1_adds_total"] = g1_adds
+        extras["msm_g1_adds_per_s"] = round(g1_adds / phases["msm_g1_x4"])
+        sol_g1 = point_add_sol_per_s(fq_limbs, fp2=False)
+        sol_g2 = point_add_sol_per_s(fq_limbs, fp2=not c.g2_over_base)
+        extras["msm_g1_sol_frac"] = round(
+            g1_adds / phases["msm_g1_x4"] / sol_g1, 3
+        )
+        extras["msm_g2_adds_per_s"] = round(g2_adds / phases["msm_g2"])
+        extras["msm_g2_sol_frac"] = round(
+            g2_adds / phases["msm_g2"] / sol_g2, 3
         )
         domain_n = prover.dpk.domain.size
-        extras["ntt_butterflies_per_s"] = round(
-            7 * ntt_butterflies(domain_n) / phases["witness_map"]
+        bflies = 7 * ntt_butterflies(domain_n)
+        extras["ntt_butterflies_per_s"] = round(bflies / phases["witness_map"])
+        # one butterfly ~ 1 montmul + 2 adds on the limb engine
+        from groth16_tpu.utils.profiling import (
+            VPU_U32_OPS_PER_S,
+            mont_mul_u32_ops,
         )
-        extras["msm_point_adds_est"] = msm_work_point_adds(
-            n_pad, c.r.bit_length(),
-            __import__("groth16_tpu.msm.pippenger", fromlist=["x"]
-                       ).choose_window_bits(n_pad, c.r.bit_length()),
+
+        fr_limbs = z_enc.shape[0]
+        sol_bfly = VPU_U32_OPS_PER_S / (mont_mul_u32_ops(fr_limbs) + 6 * fr_limbs)
+        extras["ntt_sol_frac"] = round(
+            bflies / phases["witness_map"] / sol_bfly, 3
         )
 
     # verify latency, 50 reps like the reference (benches/bench.rs:97-124);
@@ -209,6 +242,8 @@ def main():
     rnd = np.random.RandomState(7)
     nv = max(1024, min(65536, len(z)))
     z_dev = jnp.asarray(enc(list(z[:nv]) + [0] * max(0, nv - len(z)), fr))
+    from groth16_tpu.utils.profiling import timed_sync
+
     for nnz in (100, 1000, 10000, 100000):
         cols = jnp.asarray(rnd.randint(0, nv, size=nnz).astype(np.int32))
         coeffs = jnp.asarray(enc([3] * nnz, fr))
@@ -219,11 +254,47 @@ def main():
             nonempty=jnp.asarray([True]), num_rows=1,
         )
         fn = jax.jit(lambda d, zz: sparse_matvec(fr, d, zz))
-        jax.block_until_ready(fn(dm, z_dev))
-        t0 = time.time()
-        jax.block_until_ready(fn(dm, z_dev))
-        ec[str(nnz)] = round((time.time() - t0) * 1e3, 3)
+        # marginal per-call time: 16 chained dispatches per fence minus
+        # the 1-dispatch fence, /15 — subtracts the ~25 ms tunnel sync
+        # floor that made the round-3 numbers flat in nnz
+        t1, _ = timed_sync(fn, dm, z_dev, reps=2, inner=1)
+        t16, _ = timed_sync(fn, dm, z_dev, reps=2, inner=16)
+        ec[str(nnz)] = round(max(0.0, (16 * t16 - t1) / 15) * 1e3, 3)
     extras["evaluate_constraint_ms"] = ec
+    extras["evaluate_constraint_note"] = (
+        "marginal device-program time (sync floor subtracted); "
+        "dominated by dispatch+launch below nnz~10^5"
+    )
+
+    # batch proving (BASELINE config #5's single-chip proxy): B proofs
+    # of the same circuit through the vmapped prover (par/batch_pp
+    # analog of the 2^24 batch config)
+    if LOG_N <= 16:
+        B = 4
+        t0 = time.time()
+        proofs = prover.prove_batch(
+            [z] * B,
+            [rng.field_element(c.r) for _ in range(B)],
+            [rng.field_element(c.r) for _ in range(B)],
+        )
+        t_first = time.time() - t0
+        t0 = time.time()
+        proofs = prover.prove_batch(
+            [z] * B,
+            [rng.field_element(c.r) for _ in range(B)],
+            [rng.field_element(c.r) for _ in range(B)],
+        )
+        t_batch = time.time() - t0
+        assert all(
+            verify_proof(pvk, pf, [a * b % c.r]) for pf in proofs
+        ), "batch proofs must verify"
+        extras["batch_prove"] = {
+            "batch": B,
+            "proofs_per_s": round(B / t_batch, 3),
+            "batch_wall_s": round(t_batch, 3),
+            "per_proof_vs_single": round(t_batch / B / wall, 3),
+            "first_call_compile_s": round(t_first, 1),
+        }
 
     model_s = model_prove_seconds(LOG_N)
     extras["baseline_model_s"] = round(model_s, 3)

@@ -52,8 +52,21 @@ class EngineConfig:
     # cross pass over chunk totals.
     msm_max_chunks: int = 4096
     # Relative cost of one bucket-tail slot vs one suffix-scan point add
-    # in the window chooser (see pippenger.choose_window_bits).
-    msm_bucket_cost: int = 50
+    # in the window chooser (see pippenger.choose_window_bits).  Round-4
+    # measurement with the fused scan kernel + element-major boundary
+    # gathers: ~180 ns/bucket vs ~52 ns/point => ~4.  (The old
+    # fori_loop+capture path measured ~50; it is re-applied when the
+    # fused kernel is unavailable, see pippenger._bucket_cost.)
+    msm_bucket_cost: int = 4
+    # Grid-carried Pallas suffix-scan kernel for MSM bucket accumulation
+    # (msm/pallas_scan.py): accumulator lives in VMEM across sequential
+    # grid steps, boundary values come from one element-major row gather.
+    # Effective only where Pallas dispatch is active (TPU backend);
+    # elsewhere the fori_loop capture-scan path runs.
+    msm_fused_scan: bool = True
+    # Lane-block width of the fused scan kernel (must divide the chunk
+    # count C; _pick_blk falls back to the largest divisor).
+    msm_scan_blk: int = 1024
 
 
 CONFIG = EngineConfig()

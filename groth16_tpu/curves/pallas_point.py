@@ -73,6 +73,43 @@ def _cond_sub2p(x: jnp.ndarray, twop_col: jnp.ndarray, L: int) -> jnp.ndarray:
     return jnp.where(carry > 0, digits, x)
 
 
+def full_add_g1_math(p_c, twop, fourp, b3, P1, P2, n0: int, L: int):
+    """Projective + projective RCB complete addition body, a = 0 —
+    shared by the standalone add kernel and the MSM cross-pass scan
+    kernel.  Inputs < 2p, outputs < 2p exact."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    mul = lambda a, b: cios(a, b, p_c, n0, L)
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    m3 = mul(X1 + Y1, X2 + Y2)
+    m4 = mul(Y1 + Z1, Y2 + Z2)
+    m5 = mul(X1 + Z1, X2 + Z2)
+    t3 = _ksub(m3, t0 + t1, fourp, L)  # X1Y2+X2Y1 < 6p
+    t4 = _ksub(m4, t1 + t2, fourp, L)  # Y1Z2+Y2Z1 < 6p
+    t5 = _ksub(m5, t0 + t2, fourp, L)  # X1Z2+X2Z1 < 6p
+    t0t = t0 + t0 + t0  # 3*X1X2 < 6p lazy
+    t2b = mul(t2, b3)
+    t5b = mul(t5, b3)
+    Z3s = t1 + t2b  # < 4p lazy
+    t1m = _ksub(t1, t2b, twop, L)  # < 4p exact
+    w0 = mul(t4, t5b)
+    w1 = mul(t3, t1m)
+    w2 = mul(t5b, t0t)
+    w3 = mul(t1m, Z3s)
+    w4 = mul(t0t, t3)
+    w5 = mul(Z3s, t4)
+    X3 = _ksub(w1, w0, twop, L)  # < 4p
+    Y3 = w3 + w2  # < 4p lazy
+    Z3 = w5 + w4  # < 4p lazy
+    return (
+        _cond_sub2p(X3, twop, L),
+        _cond_sub2p(Y3, twop, L),
+        _cond_sub2p(Z3, twop, L),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _add_kernel(spec: FpSpec, blk: int):
     L = spec.n_limbs
@@ -87,36 +124,15 @@ def _add_kernel(spec: FpSpec, blk: int):
         twop = c_ref[:, 1 * blk : 2 * blk]
         fourp = c_ref[:, 2 * blk : 3 * blk]
         b3 = c_ref[:, 3 * blk : 4 * blk]
-        X1, Y1, Z1 = x1_ref[...], y1_ref[...], z1_ref[...]
-        X2, Y2, Z2 = x2_ref[...], y2_ref[...], z2_ref[...]
-
-        mul = lambda a, b: cios(a, b, p_c, n0, L)
-        t0 = mul(X1, X2)
-        t1 = mul(Y1, Y2)
-        t2 = mul(Z1, Z2)
-        m3 = mul(X1 + Y1, X2 + Y2)
-        m4 = mul(Y1 + Z1, Y2 + Z2)
-        m5 = mul(X1 + Z1, X2 + Z2)
-        t3 = _ksub(m3, t0 + t1, fourp, L)  # X1Y2+X2Y1 < 6p
-        t4 = _ksub(m4, t1 + t2, fourp, L)  # Y1Z2+Y2Z1 < 6p
-        t5 = _ksub(m5, t0 + t2, fourp, L)  # X1Z2+X2Z1 < 6p
-        t0t = t0 + t0 + t0  # 3*X1X2 < 6p lazy
-        t2b = mul(t2, b3)
-        t5b = mul(t5, b3)
-        Z3s = t1 + t2b  # < 4p lazy
-        t1m = _ksub(t1, t2b, twop, L)  # < 4p exact
-        w0 = mul(t4, t5b)
-        w1 = mul(t3, t1m)
-        w2 = mul(t5b, t0t)
-        w3 = mul(t1m, Z3s)
-        w4 = mul(t0t, t3)
-        w5 = mul(Z3s, t4)
-        X3 = _ksub(w1, w0, twop, L)  # < 4p
-        Y3 = w3 + w2  # < 4p lazy
-        Z3 = w5 + w4  # < 4p lazy
-        x3_ref[...] = _cond_sub2p(X3, twop, L)
-        y3_ref[...] = _cond_sub2p(Y3, twop, L)
-        z3_ref[...] = _cond_sub2p(Z3, twop, L)
+        X3, Y3, Z3 = full_add_g1_math(
+            p_c, twop, fourp, b3,
+            (x1_ref[...], y1_ref[...], z1_ref[...]),
+            (x2_ref[...], y2_ref[...], z2_ref[...]),
+            n0, L,
+        )
+        x3_ref[...] = X3
+        y3_ref[...] = Y3
+        z3_ref[...] = Z3
 
     return kernel
 
@@ -162,17 +178,52 @@ def add_g1_pallas(spec: FpSpec, b3_val: int, p1, p2, blk: int):
 # -- G1 mixed addition (affine second operand) ---------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _add_mixed_kernel(spec: FpSpec, blk: int):
-    """Projective + affine (Z2 = 1) RCB complete addition, a = 0.
+def mixed_add_g1_math(p_c, twop, fourp, b3, P1, XY2, n0: int, L: int):
+    """Projective + affine (Z2 = 1) RCB complete addition body, a = 0 —
+    shared by the standalone mixed-add kernel and the MSM suffix-scan
+    kernel (msm/pallas_scan.py).
 
     Substituting Z2 = 1 into the full formula: t2 = Z1,
     t4 = Y1 + Y2*Z1, t5 = X1 + X2*Z1 — 13 CIOS multiplies (vs 14) and no
     Z2 plane in HBM.  Affine infinity is encoded (0, 0) (y = 0 never
     occurs for odd-order subgroup points); those lanes pass X1/Y1/Z1
     through unchanged.  Bounds: t4/t5 < 4p lazy (tighter than the full
-    add's 6p); everything else per the full-add ledger.
-    """
+    add's 6p); everything else per the full-add ledger.  Inputs < 2p,
+    outputs < 2p exact."""
+    X1, Y1, Z1 = P1
+    X2, Y2 = XY2
+    inf2 = jnp.all(Y2 == 0, axis=0, keepdims=True)
+
+    mul = lambda a, b: cios(a, b, p_c, n0, L)
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    m3 = mul(X1 + Y1, X2 + Y2)
+    t3 = _ksub(m3, t0 + t1, fourp, L)  # X1Y2+X2Y1 < 6p
+    t4 = Y1 + mul(Y2, Z1)  # < 4p lazy
+    t5 = X1 + mul(X2, Z1)  # < 4p lazy
+    t0t = t0 + t0 + t0  # 3*X1X2 < 6p lazy
+    t2b = mul(Z1, b3)
+    t5b = mul(t5, b3)
+    Z3s = t1 + t2b  # < 4p lazy
+    t1m = _ksub(t1, t2b, twop, L)  # < 4p exact
+    w0 = mul(t4, t5b)
+    w1 = mul(t3, t1m)
+    w2 = mul(t5b, t0t)
+    w3 = mul(t1m, Z3s)
+    w4 = mul(t0t, t3)
+    w5 = mul(Z3s, t4)
+    X3 = _ksub(w1, w0, twop, L)  # < 4p
+    Y3 = w3 + w2  # < 4p lazy
+    Z3 = w5 + w4  # < 4p lazy
+    X3 = jnp.where(inf2, X1, _cond_sub2p(X3, twop, L))
+    Y3 = jnp.where(inf2, Y1, _cond_sub2p(Y3, twop, L))
+    Z3 = jnp.where(inf2, Z1, _cond_sub2p(Z3, twop, L))
+    return X3, Y3, Z3
+
+
+@functools.lru_cache(maxsize=None)
+def _add_mixed_kernel(spec: FpSpec, blk: int):
+    """pallas_call wrapper around mixed_add_g1_math."""
     L = spec.n_limbs
     n0 = int(spec.n0inv)
 
@@ -182,34 +233,15 @@ def _add_mixed_kernel(spec: FpSpec, blk: int):
         twop = c_ref[:, 1 * blk : 2 * blk]
         fourp = c_ref[:, 2 * blk : 3 * blk]
         b3 = c_ref[:, 3 * blk : 4 * blk]
-        X1, Y1, Z1 = x1_ref[...], y1_ref[...], z1_ref[...]
-        X2, Y2 = x2_ref[...], y2_ref[...]
-        inf2 = jnp.all(Y2 == 0, axis=0, keepdims=True)
-
-        mul = lambda a, b: cios(a, b, p_c, n0, L)
-        t0 = mul(X1, X2)
-        t1 = mul(Y1, Y2)
-        m3 = mul(X1 + Y1, X2 + Y2)
-        t3 = _ksub(m3, t0 + t1, fourp, L)  # X1Y2+X2Y1 < 6p
-        t4 = Y1 + mul(Y2, Z1)  # < 4p lazy
-        t5 = X1 + mul(X2, Z1)  # < 4p lazy
-        t0t = t0 + t0 + t0  # 3*X1X2 < 6p lazy
-        t2b = mul(Z1, b3)
-        t5b = mul(t5, b3)
-        Z3s = t1 + t2b  # < 4p lazy
-        t1m = _ksub(t1, t2b, twop, L)  # < 4p exact
-        w0 = mul(t4, t5b)
-        w1 = mul(t3, t1m)
-        w2 = mul(t5b, t0t)
-        w3 = mul(t1m, Z3s)
-        w4 = mul(t0t, t3)
-        w5 = mul(Z3s, t4)
-        X3 = _ksub(w1, w0, twop, L)  # < 4p
-        Y3 = w3 + w2  # < 4p lazy
-        Z3 = w5 + w4  # < 4p lazy
-        x3_ref[...] = jnp.where(inf2, X1, _cond_sub2p(X3, twop, L))
-        y3_ref[...] = jnp.where(inf2, Y1, _cond_sub2p(Y3, twop, L))
-        z3_ref[...] = jnp.where(inf2, Z1, _cond_sub2p(Z3, twop, L))
+        X3, Y3, Z3 = mixed_add_g1_math(
+            p_c, twop, fourp, b3,
+            (x1_ref[...], y1_ref[...], z1_ref[...]),
+            (x2_ref[...], y2_ref[...]),
+            n0, L,
+        )
+        x3_ref[...] = X3
+        y3_ref[...] = Y3
+        z3_ref[...] = Z3
 
     return kernel
 

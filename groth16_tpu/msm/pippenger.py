@@ -57,26 +57,95 @@ from groth16_tpu.fields.spec import LIMB_BITS
 from groth16_tpu.msm.scans import reduce_points
 
 
-def choose_window_bits(n: int, scalar_bits: int, signed: bool = False) -> int:
+def _fused_scan_ok(g: CurveDevice) -> bool:
+    """The grid-carried Pallas scan kernel (msm/pallas_scan.py) covers
+    a = 0 curves with Fp or small-nonresidue Fp2 coordinates on the TPU
+    backend; everything else (MNT a != 0, Fp3 towers, CPU tests) runs
+    the fori_loop capture-scan path — bit-identical results."""
+    from groth16_tpu.config import CONFIG, pallas_enabled
+
+    if not CONFIG.msm_fused_scan or not pallas_enabled():
+        return False
+    if not g.a_is_zero:
+        return False
+    deg = getattr(g.k, "tower_deg", 1)
+    if deg == 1:
+        return True
+    return deg == 2 and 1 <= abs(getattr(g.k, "nr_int", 0)) <= 16
+
+
+def _bucket_cost(g: CurveDevice) -> int:
+    """Per-bucket tail weight for the window chooser: ~4 point-adds with
+    the fused kernel's element-major boundary gathers, ~50 on the
+    capture-scan path (round-3 profile)."""
+    return CONFIG.msm_bucket_cost if _fused_scan_ok(g) else 50
+
+
+def choose_window_bits(
+    n: int, scalar_bits: int, signed: bool = False, bucket_cost: int | None = None
+) -> int:
     """Minimize windows*(n + KB*buckets) over c in [4, 16].
 
-    KB weights the per-bucket tail cost (searchsorted target, in-scan
-    capture, gv add, reduce level) against one suffix-scan add.  The
-    round-3 TPU stage profile at 2^16 put the tail at ~7.5 us/bucket vs
-    ~0.14 us/point-add (searchsorted and the capture gathers run far
-    below the fused add kernel's rate), i.e. KB ~ 50 — wide windows
-    (c = 12-13) buy few scan passes but drown in bucket overhead; the
-    optimum sits at c ~ 9-10 for 2^16..2^20.  Signed digits halve the
-    bucket count (magnitudes in [0, 2^(c-1)]) at the price of one carry
-    window."""
+    KB weights the per-bucket tail cost (histogram slot, boundary-row
+    gather, gv add, reduce level) against one suffix-scan add.  Round-4
+    measurements with the fused scan kernel put the tail at ~180
+    ns/bucket vs ~52 ns/point (KB ~ 4), moving the optimum to c ~ 12-13
+    at 2^16..2^20; the fori_loop capture path keeps the round-3 KB ~ 50
+    (optimum c ~ 9-10).  Signed digits halve the bucket count
+    (magnitudes in [0, 2^(c-1)]) at the price of one carry window."""
+    kb = CONFIG.msm_bucket_cost if bucket_cost is None else bucket_cost
     best_c, best_cost = 4, None
     for c in range(4, 17):
         windows = -(-scalar_bits // c) + (1 if signed else 0)
         buckets = (1 << (c - 1)) if signed else (1 << c)
-        cost = windows * (n + CONFIG.msm_bucket_cost * buckets)
+        cost = windows * (n + kb * buckets)
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
+
+
+def first_ge_histogram(digits: jnp.ndarray, B: int) -> jnp.ndarray:
+    """first_ge[.., v] = #(digits < v+1) for v in 0..B-2, i.e. the index
+    of the first sorted position with digit >= v+1 — computed WITHOUT
+    the sort via a two-level exact int8 one-hot histogram contracted on
+    the MXU (vmapped searchsorted costs ~0.5 us per target on TPU and
+    dominates the tail at B >= 2^11; this runs in ~1-2 ms and does not
+    depend on the sorted keys, so XLA overlaps it with the sort).
+
+    digits: uint32[.., N] raw window magnitudes (< B).  Returns
+    int32[.., B-1]."""
+    lead = digits.shape[:-1]
+    N = digits.shape[-1]
+    nhi = max(1, -(-B // 128))
+    d = digits.reshape((-1, N))
+    R = d.shape[0]
+    hi = (d >> 7).astype(jnp.int32)
+    lo = (d & 127).astype(jnp.int32)
+    # chunk N so the materialized int8 one-hots stay <= ~64 MiB across
+    # all rows; contraction is exact in int32 (counts <= N < 2^31)
+    chunk = max(128, min(N, (1 << 26) // max(1, R * (nhi + 128))))
+    while N % chunk:
+        chunk -= 1
+    nc = N // chunk
+    oh_hi = (
+        hi.reshape(R, nc, chunk)[..., None] == jnp.arange(nhi, dtype=jnp.int32)
+    ).astype(jnp.int8)
+    oh_lo = (
+        lo.reshape(R, nc, chunk)[..., None] == jnp.arange(128, dtype=jnp.int32)
+    ).astype(jnp.int8)
+    hist = jax.lax.dot_general(
+        oh_hi, oh_lo,
+        dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    ).sum(axis=1)  # [R, nhi, 128]
+    cum = jnp.cumsum(hist.reshape(R, nhi * 128), axis=-1)
+    return cum[:, : B - 1].reshape(lead + (B - 1,))
+
+
+def _pick_blk_cfg(C: int) -> int:
+    from groth16_tpu.msm.pallas_scan import _pick_blk
+
+    return _pick_blk(C, CONFIG.msm_scan_blk)
 
 
 def window_digits(scalars: jnp.ndarray, c: int, w: int) -> jnp.ndarray:
@@ -171,8 +240,9 @@ def msm_device_lanes(
     lanes, Ls, n = scalars.shape
     assert g.batch_shape(points) == (lanes, n)
     signed = CONFIG.msm_signed_digits
+    fused = _fused_scan_ok(g)
     c = window_bits or CONFIG.msm_window_bits or choose_window_bits(
-        n, scalar_bits, signed
+        n, scalar_bits, signed, bucket_cost=_bucket_cost(g)
     )
     if signed:
         num_windows = -(-scalar_bits // c) + 1  # +1: recode carry window
@@ -198,6 +268,14 @@ def msm_device_lanes(
             jnp.concatenate([p, i], axis=-1) for p, i in zip(points, inf)
         )
 
+    from groth16_tpu.msm.scans import _pick_chunks
+
+    C = _pick_chunks(npad, CONFIG.msm_max_chunks)
+    K = npad // C
+    # the fused kernel's totals/prefix blocks need lane-aligned chunk
+    # tiles; small shapes (CPU-scale tests) fall back to the capture scan
+    fused = fused and C % 128 == 0 and _pick_blk_cfg(C) % 128 == 0
+
     # element-major AFFINE planes for the sorted gather: rows of
     # 2*ce contiguous u32 words gather at memory bandwidth, where
     # minor-axis element gathers do not; affine infinity (incl. the
@@ -207,17 +285,23 @@ def msm_device_lanes(
     ce = 1
     for d in g.k.coord_shape():
         ce *= d
+    tower_deg = getattr(g.k, "tower_deg", 1)
+
+    def to_rows(coord):
+        # [*cs, lanes, npad] -> [lanes, npad, ce] element rows.  The
+        # fused-scan path wants tower-major row order (x0 limbs, then x1
+        # limbs) so the kernel splits components with contiguous slices;
+        # the capture-scan path keeps the historical (limb, tower)
+        # C-order flattening.
+        if fused and tower_deg > 1:
+            coord = jnp.moveaxis(coord, 1, 0)
+        return jnp.moveaxis(coord.reshape(ce, lanes, npad), 0, -1)
+
     inf_mask = g.is_infinity(points)  # [lanes, npad]
     zero_xy = g.k.zero((lanes, npad))
     x_aff = g.k.select(inf_mask, zero_xy, points[0])
     y_aff = g.k.select(inf_mask, zero_xy, points[1])
-    em = jnp.concatenate(
-        [
-            jnp.moveaxis(x_aff.reshape(ce, lanes, npad), 0, -1),
-            jnp.moveaxis(y_aff.reshape(ce, lanes, npad), 0, -1),
-        ],
-        axis=-1,
-    )  # [lanes, npad, 2*ce]
+    em = jnp.concatenate([to_rows(x_aff), to_rows(y_aff)], axis=-1)
     if signed:
         # second y-negated copy at element offset npad: a negative digit
         # gathers row (i + npad) — the sign costs an index add, not an
@@ -228,11 +312,7 @@ def msm_device_lanes(
             [
                 em,
                 jnp.concatenate(
-                    [
-                        jnp.moveaxis(x_aff.reshape(ce, lanes, npad), 0, -1),
-                        jnp.moveaxis(negy_aff.reshape(ce, lanes, npad), 0, -1),
-                    ],
-                    axis=-1,
+                    [to_rows(x_aff), to_rows(negy_aff)], axis=-1
                 ),
             ],
             axis=1,
@@ -289,19 +369,36 @@ def msm_device_lanes(
     )
     cd = g.k.coord_ndim
     cs = g.k.coord_shape()
+    L = g.k.spec.n_limbs
 
     from groth16_tpu.msm.scans import (
-        _pick_chunks,
         _roll,
         scan_points,
         scan_storage_mixed_capture,
     )
 
-    C = _pick_chunks(npad, CONFIG.msm_max_chunks)  # noqa: shared across groups
-    K = npad // C
+    def _cat_rows(pt: Point) -> jnp.ndarray:
+        """Point (cs leading) -> [3*ce, *batch] tower-major limb rows."""
+        flat = []
+        for cf in pt:
+            if tower_deg > 1:
+                cf = jnp.moveaxis(cf, 1, 0)
+            flat.append(cf.reshape((ce,) + cf.shape[cd:]))
+        return jnp.concatenate(flat, axis=0)
 
-    def group_sums(digits_g, signs_g) -> Point:
-        """[lanes, wg, npad] digits -> per-window sums, batch (lanes, wg)."""
+    def _uncat_rows(arr: jnp.ndarray) -> Point:
+        """[3*ce, *batch] tower-major limb rows -> Point."""
+        out = []
+        for i in range(3):
+            cf = arr[i * ce : (i + 1) * ce]
+            if tower_deg > 1:
+                cf = jnp.moveaxis(
+                    cf.reshape((tower_deg, L) + cf.shape[1:]), 0, 1
+                )
+            out.append(cf)
+        return tuple(out)
+
+    def _sort_gidx(digits_g, signs_g):
         if packed:
             key = (digits_g << shift) | iota_b
             if signed:
@@ -320,16 +417,106 @@ def msm_device_lanes(
             gidx = order
             if signed:
                 gidx = gidx + (sorted_keys & 1) * jnp.uint32(npad)
+        # compose the step-major storage transpose (sorted position
+        # j = c*K + k stored at k*C + c) into the GATHER indices — the
+        # index array is transposed, never the gathered point data
+        order_t = jnp.swapaxes(
+            gidx.astype(jnp.int32).reshape(lanes, wg, C, K), -1, -2
+        ).reshape(lanes, wg, npad)
+        return sorted_keys, order_t
+
+    def _tail(cap, cross_excl, jc, valid) -> Point:
+        """gv = captured within-chunk values + cross-chunk suffix at the
+        target's chunk; reduce the B-1 bucket-boundary values."""
+        gv = g.add(cap, cross_excl)  # batch (lanes, wg, B-1)
+        gv = g.select(valid, gv, g.infinity((lanes, wg, B - 1)))
+        # pad to a power of two for the halving reduction (signed: B-1 =
+        # 2^(c-1) already is one; unsigned: 2^c - 1 pads by one)
+        m = B - 1
+        tgt = 1 << (m - 1).bit_length()
+        if tgt != m:
+            gv = tuple(
+                jnp.concatenate([x, i], axis=-1)
+                for x, i in zip(gv, g.infinity((lanes, wg, tgt - m)))
+            )
+        return reduce_points(g, gv)  # batch (lanes, wg)
+
+    def group_sums_fused(digits_g, signs_g) -> Point:
+        """Fused-kernel path: grid-carried Pallas suffix scan
+        (msm/pallas_scan.py) + MXU-histogram boundaries + element-major
+        row gathers for the bucket tail."""
+        from groth16_tpu.msm.pallas_scan import (
+            suffix_scan_g1_rows,
+            suffix_scan_g2_rows,
+        )
+
+        _, order_t = _sort_gidx(digits_g, signs_g)
+        # bucket boundaries from the raw digits (no sort dependency —
+        # XLA overlaps the histogram with the sort)
+        first_ge = first_ge_histogram(digits_g, B)
+        valid = first_ge < npad
+        j = jnp.minimum(first_ge, npad - 1).astype(jnp.int32)
+        jk, jc = j % K, j // K
+        rows = jnp.take_along_axis(
+            em[:, None, :, :], order_t[..., None], axis=2
+        ).reshape(lanes * wg, npad, 2 * ce)
+        blk = _pick_blk_cfg(C)
+        if tower_deg == 1:
+            prefix, totals = suffix_scan_g1_rows(
+                g.k.spec, g.b3_val, rows, K, C, blk
+            )
+        else:
+            prefix, totals = suffix_scan_g2_rows(
+                g.k.spec, g.k.nr_int, g.b3_val, rows, K, C, blk
+            )
+        # captured within-chunk suffix values: ONE element-major row
+        # gather of the B-1 boundary rows from the kernel's prefix
+        pos = (jk * C + jc).reshape(lanes * wg, B - 1)
+        cap_rows = jnp.take_along_axis(prefix, pos[..., None], axis=1)
+        cap = tuple(
+            x.reshape(cs + (lanes, wg, B - 1))
+            for x in _uncat_rows(
+                jnp.moveaxis(cap_rows, -1, 0).reshape(
+                    3 * ce, lanes, wg, B - 1
+                )
+            )
+        )
+        totals_pt = tuple(
+            t.reshape(cs + (lanes, wg, C)) for t in totals
+        )
+        cross_incl = scan_points(g, totals_pt, reverse=True, max_chunks=512)
+        cross_excl = _roll(cross_incl, -1)
+        cmask = jnp.arange(C) < C - 1
+        cross_excl = g.select(cmask, cross_excl, g.infinity((lanes, wg, C)))
+        # cross values at each target's chunk: element-major row gather
+        # again (limb-major column gathers cost ~10x at B-1 >= 2^10)
+        cross_rows = jnp.moveaxis(
+            _cat_rows(cross_excl), 0, -1
+        ).reshape(lanes * wg, C, 3 * ce)
+        cx_rows = jnp.take_along_axis(
+            cross_rows, jc.reshape(lanes * wg, B - 1)[..., None], axis=1
+        )
+        cross_at = tuple(
+            x.reshape(cs + (lanes, wg, B - 1))
+            for x in _uncat_rows(
+                jnp.moveaxis(cx_rows, -1, 0).reshape(
+                    3 * ce, lanes, wg, B - 1
+                )
+            )
+        )
+        return _tail(cap, cross_at, jc, valid)
+
+    def group_sums(digits_g, signs_g) -> Point:
+        """[lanes, wg, npad] digits -> per-window sums, batch (lanes, wg).
+
+        Capture-scan path (CPU backend, MNT a != 0, Fp3 towers): the
+        fori_loop suffix scan captures the T = B-1 bucket-boundary
+        values in flight (positions from searchsorted on the sorted
+        keys) instead of materializing npad projective prefix values."""
+        sorted_keys, order_t = _sort_gidx(digits_g, signs_g)
         # sorted_keys = digit << shift (+ lower-order sign/index bits),
         # so first-key >= (v << shift) iff digit >= v: the keys feed
-        # searchsorted as-is.  gidx selects the (possibly y-negated)
-        # element-major row.
-        #
-        # bucket boundaries are known BEFORE the scan (searchsorted on
-        # the sorted keys): target v lives at sorted position j = chunk
-        # jc, within-chunk step jk — the scan below captures exactly
-        # those T = B-1 values in flight instead of materializing all
-        # npad projective prefix values in HBM
+        # searchsorted as-is.
         first_ge = jax.vmap(
             lambda d, v: jnp.searchsorted(d, v, side="left")
         )(sorted_keys.reshape(lanes * wg, npad), v_targets)
@@ -337,12 +524,6 @@ def msm_device_lanes(
         valid = first_ge < npad
         j = jnp.minimum(first_ge, npad - 1).astype(jnp.int32)
         jk, jc = j % K, j // K
-        # compose the step-major storage transpose (sorted position
-        # j = c*K + k stored at k*C + c) into the GATHER indices — the
-        # index array is transposed, never the gathered point data
-        order_t = jnp.swapaxes(
-            gidx.astype(jnp.int32).reshape(lanes, wg, C, K), -1, -2
-        ).reshape(lanes, wg, npad)
         # element-major row gather (contiguous 2*ce-word rows), then one
         # bulk transpose back to limb-major for the scan kernels
         rows = jnp.take_along_axis(
@@ -359,24 +540,15 @@ def msm_device_lanes(
         cross_excl = _roll(cross_incl, -1)
         cmask = jnp.arange(C) < C - 1
         cross_excl = g.select(cmask, cross_excl, g.infinity((lanes, wg, C)))
-        gv = g.add(
-            cap,
-            tuple(x[..., l_iota, w_iota, jc] for x in cross_excl),
-        )  # batch (lanes, wg, B-1)
-        gv = g.select(valid, gv, g.infinity((lanes, wg, B - 1)))
-        # pad to a power of two for the halving reduction (signed: B-1 =
-        # 2^(c-1) already is one; unsigned: 2^c - 1 pads by one)
-        m = B - 1
-        tgt = 1 << (m - 1).bit_length()
-        if tgt != m:
-            gv = tuple(
-                jnp.concatenate([x, i], axis=-1)
-                for x, i in zip(gv, g.infinity((lanes, wg, tgt - m)))
-            )
-        return reduce_points(g, gv)  # batch (lanes, wg)
+        cross_at = tuple(
+            x[..., l_iota, w_iota, jc] for x in cross_excl
+        )
+        return _tail(cap, cross_at, jc, valid)
+
+    gfn = group_sums_fused if fused else group_sums
 
     def gstep(_, xs):
-        return None, group_sums(*xs)
+        return None, gfn(*xs)
 
     _, sums_g = jax.lax.scan(gstep, None, (digits_grouped, signs_grouped))
     # sums_g leaves: [G, *coords, lanes, wg] -> [*coords, lanes, W] rows

@@ -37,7 +37,15 @@ def _window_bits(num_scalars: int) -> int:
 
 
 class _DeviceBatchMul:
-    """One window table per (curve group, generator); batch_mul on device."""
+    """One window table per (curve group, generator); batch_mul on device.
+
+    Scalar batches are zero-padded up to a power-of-two-ish bucket so
+    every call of a setup compiles at most ONE program shape per group —
+    round 3's setup spent ~90% of its 736 s compiling a fresh batch-mul
+    graph for each of the 6 differently-sized query vectors
+    (generator.rs:129-183 batches; the math is identical, only the
+    shapes differed).  Zero scalars multiply to infinity and are sliced
+    off after decode."""
 
     def __init__(self, g, base_affine, to_device, from_device, bits: int, n_hint: int):
         self.g = g
@@ -51,12 +59,21 @@ class _DeviceBatchMul:
         )(base_single)
         self.from_device = from_device
 
+    @staticmethod
+    def _pad_to(n: int) -> int:
+        m = 256
+        while m < n:
+            m <<= 1
+        return m
+
     def __call__(self, fr_spec, scalars: Sequence[int]) -> List:
         if len(scalars) == 0:
             return []
-        s = codec.scalars_to_device(list(scalars), fr_spec)
+        n = len(scalars)
+        npad = self._pad_to(n)
+        s = codec.scalars_to_device(list(scalars) + [0] * (npad - n), fr_spec)
         out = batch_mul_device(self.g, self.table, s, self.c, self.bits)
-        return self.from_device(out)
+        return self.from_device(out)[:n]
 
 
 def generate_parameters_with_qap_device(
@@ -120,14 +137,32 @@ def generate_parameters_with_qap_device(
         bits, n_hint,
     )
 
-    b_g2_query = bm_g2(fr_spec, b)
-    a_query = bm_g1(fr_spec, a)
-    b_g1_query = bm_g1(fr_spec, b)
-    h_query = bm_g1(fr_spec, h_scalars)
-    l_query = bm_g1(fr_spec, l_scalars)
-    gamma_abc_g1 = bm_g1(fr_spec, gamma_abc)
-    sm1 = bm_g1(fr_spec, [alpha, beta, delta])
-    sm2 = bm_g2(fr_spec, [beta, gamma, delta])
+    # ONE padded G1 call and ONE padded G2 call cover every query
+    # (generator.rs:129-183's six batch_muls share the generators, so
+    # concatenating the scalar vectors costs nothing and compiles a
+    # single program shape per group)
+    g1_scalars = (
+        list(a) + list(b) + list(h_scalars) + list(l_scalars)
+        + list(gamma_abc) + [alpha, beta, delta]
+    )
+    g1_pts = bm_g1(fr_spec, g1_scalars)
+    ofs = 0
+
+    def take(k):
+        nonlocal ofs
+        out = g1_pts[ofs : ofs + k]
+        ofs += k
+        return out
+
+    a_query = take(len(a))
+    b_g1_query = take(len(b))
+    h_query = take(len(h_scalars))
+    l_query = take(len(l_scalars))
+    gamma_abc_g1 = take(len(gamma_abc))
+    sm1 = take(3)
+    g2_pts = bm_g2(fr_spec, list(b) + [beta, gamma, delta])
+    b_g2_query = g2_pts[: len(b)]
+    sm2 = g2_pts[len(b) :]
 
     vk = VerifyingKey(
         curve=curve,

@@ -270,6 +270,74 @@ def _assembly_jit(
     return (ax, ay, ainf, bx, by, binf)
 
 
+def _decode_proj_host(curve: str, ops, coords, idx=None):
+    """Device homogeneous-projective (X, Y, Z) limb coords -> host
+    affine point (or None for infinity).  coords: 3 arrays shaped
+    [*cs] or [*cs, lanes] (idx selects the lane)."""
+    c = get_curve(curve)
+    spec = make_spec(c.p, name=f"{curve}.Fq")
+    vals = []
+    for coord in coords:
+        arr = np.asarray(coord if idx is None else coord[..., idx])
+        v = decode(arr, spec)
+        vals.append(tuple(v) if len(v) > 1 else v[0])
+    X, Y, Z = vals
+    k = ops.k
+    if k.is_zero(Z):
+        return None
+    zi = k.inv(Z)
+    return (k.mul(X, zi), k.mul(Y, zi))
+
+
+def _host_assembly(pk: ProvingKey, acc4, b2_acc, r: int, s: int) -> Proof:
+    """Phase 3 on the HOST: the O(1) group-op tail of prover.rs:54-132.
+
+    The device path (_assembly_jit) spends ~0.1 s running ~1500 tiny
+    double-and-add kernels through fori_loops for six scalar
+    multiplications of O(1) points; on the host the same work is ~5 ms
+    of exact bignum arithmetic.  Only the five MSM accumulators cross
+    the device boundary (a few hundred bytes) — the same single
+    device->host fence the proof decode needed anyway.  Bit-identical
+    to the device assembly (tests/test_prover_device.py)."""
+    from groth16_tpu.protocol.prover import _ops
+
+    curve = pk.vk.curve
+    c = get_curve(curve)
+    g1, g2 = _ops(curve)
+    a_acc, b1_acc, h_acc, l_acc = (
+        _decode_proj_host(curve, g1, tuple(x for x in acc4), i)
+        for i in range(4)
+    )
+    b2_aff = _decode_proj_host(curve, g2, tuple(x for x in b2_acc))
+
+    delta = g1.from_affine(pk.delta_g1)
+
+    def finish(initial, q0, acc_aff, vk_param):
+        res = g1.add(initial, g1.from_affine(q0))
+        res = g1.add(res, g1.from_affine(acc_aff))
+        return g1.add(res, g1.from_affine(vk_param))
+
+    g_a = finish(g1.scalar_mul(delta, r), pk.a_query[0], a_acc,
+                 pk.vk.alpha_g1)
+    g1_b = finish(g1.scalar_mul(delta, s), pk.b_g1_query[0], b1_acc,
+                  pk.beta_g1)
+    s_d2 = g2.scalar_mul(g2.from_affine(pk.vk.delta_g2), s)
+    g2_b = g2.add(s_d2, g2.from_affine(pk.b_g2_query[0]))
+    g2_b = g2.add(g2_b, g2.from_affine(b2_aff))
+    g2_b = g2.add(g2_b, g2.from_affine(pk.vk.beta_g2))
+
+    g_c = g1.add(g1.scalar_mul(g_a, s), g1.scalar_mul(g1_b, r))
+    g_c = g1.add(g_c, g1.neg(g1.scalar_mul(delta, (r * s) % c.r)))
+    g_c = g1.add(g_c, g1.from_affine(l_acc))
+    g_c = g1.add(g_c, g1.from_affine(h_acc))
+    return Proof(
+        curve=curve,
+        a=g1.to_affine(g_a),
+        b=g2.to_affine(g2_b),
+        c=g1.to_affine(g_c),
+    )
+
+
 def _prove_phases(curve, dpk, z_mont, r_bits, s_bits, rs_bits, timer=None):
     """The full prove as three device programs (witness map | MSMs |
     assembly).  Split keeps each compiled program within backend
@@ -376,13 +444,50 @@ class TpuProver:
         return _to_mont_jit(self.curve, std)
 
     def prove(self, full_assignment: List[int], r: int, s: int,
-              timer=None) -> Proof:
+              timer=None, host_assembly: bool = True) -> Proof:
         rr = self.c.r
         r %= rr
         s %= rr
         z = self.encode_assignment(full_assignment)
+        if host_assembly:
+            return self.prove_encoded_host(z, r, s, timer=timer)
         out = self.prove_encoded(z, r, s, timer=timer)
         return decode_proof_arrays(self.curve, out)
+
+    def prove_encoded_host(self, z_mont: jnp.ndarray, r: int, s: int,
+                           timer=None) -> Proof:
+        """Device witness map + MSMs, HOST O(1) assembly
+        (_host_assembly).  The single-proof fast path: the proof decode
+        fence doubles as the accumulator fetch.  prove_encoded (device
+        assembly) remains for pipelined callers that must keep results
+        on device (par/batch_pp.ProofStream)."""
+        rr = self.c.r
+        r %= rr
+        s %= rr
+        witness = (
+            _witness_fine
+            if self.dpk.domain.size > WITNESS_FUSED_MAX
+            else _witness_jit
+        )
+        if timer is None:
+            scalars4, rho_std = witness(self.curve, self.dpk, z_mont)
+            acc4 = _msm_g1_jit(self.curve, self.dpk, scalars4)
+            b2_acc = _msm_g2_jit(self.curve, self.dpk, rho_std)
+            return _host_assembly(self.pk, acc4, b2_acc, r, s)
+        with timer.phase("witness_map"):
+            scalars4, rho_std = jax.block_until_ready(
+                witness(self.curve, self.dpk, z_mont)
+            )
+        with timer.phase("msm_g1_x4"):
+            acc4 = jax.block_until_ready(
+                _msm_g1_jit(self.curve, self.dpk, scalars4)
+            )
+        with timer.phase("msm_g2"):
+            b2_acc = jax.block_until_ready(
+                _msm_g2_jit(self.curve, self.dpk, rho_std)
+            )
+        with timer.phase("assembly"):
+            return _host_assembly(self.pk, acc4, b2_acc, r, s)
 
     def prove_encoded(self, z_mont: jnp.ndarray, r: int, s: int, timer=None):
         rr = self.c.r

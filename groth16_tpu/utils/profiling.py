@@ -52,7 +52,52 @@ def timed(fn, *args, reps: int = 1):
     return best, result
 
 
+def device_sync(x):
+    """Force TRUE completion of `x` by fetching one element to host.
+
+    On the tunneled `axon` platform `jax.block_until_ready` returns long
+    before execution finishes (measured round 4: a 2^19-element Pallas
+    montmul pass "completes" in 0.02 ms by block_until_ready but costs
+    ~0.9 ms marginal when timed with a device_get fence).  Every
+    wall-clock measurement must therefore end with a device->host read;
+    this fetches a single element of the first array leaf (tiny
+    transfer, one round trip ~20-25 ms on the tunnel — time *batched*
+    work between fences and subtract a measured fence baseline for
+    per-stage numbers)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    idx = tuple(0 for _ in range(leaf.ndim))
+    jax.device_get(leaf[idx] if leaf.ndim else leaf)
+    return x
+
+
+def timed_sync(fn, *args, reps: int = 3, inner: int = 1):
+    """(best seconds per call, result) with a real device fence.
+
+    `inner`: dispatch the call `inner` times per fence so the ~20-25 ms
+    tunnel round trip amortizes; per-call time = (wall - 0)/inner.  Use
+    marginal timing (inner=4 vs inner=1 deltas) for kernel-rate numbers.
+    """
+    result = fn(*args)
+    device_sync(result)  # warm/compile
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(inner):
+            result = fn(*args)
+        device_sync(result)
+        dt = (time.time() - t0) / inner
+        best = dt if best is None else min(best, dt)
+    return best, result
+
+
 # -- speed-of-light models ------------------------------------------------------
+
+# Measured VPU throughput for the u32 mul/add/mask mix the CIOS limb
+# engine issues (round 4, scripts/ubench_vpu.py: marginal rate of
+# cross-coupled mul+add chains on the attached v5-lite chip).  This is
+# the chip-peak denominator for SoL fractions in bench.py.
+VPU_U32_OPS_PER_S = 1.15e12
+
 
 # one Montgomery mul (interleaved CIOS): ~2 L^2 u32 multiplies + ~6 L^2
 # u32 add/mask ops per element
@@ -60,17 +105,29 @@ def mont_mul_u32_ops(n_limbs: int) -> int:
     return 8 * n_limbs * n_limbs
 
 
-# complete RCB point add: 12 field muls + ~8 resolving passes
+# complete RCB MIXED (projective+affine) point add: 13 field muls
+# (pallas_point.mixed_add_g1_math) + the ksub/rex resolving passes
 def point_add_u32_ops(n_limbs: int, fp2: bool = False) -> int:
-    muls = 12 * (4 if fp2 else 1)
+    muls = 13 * (4 if fp2 else 1)
     return muls * mont_mul_u32_ops(n_limbs) + 20 * n_limbs * (2 if fp2 else 1)
 
 
-def msm_work_point_adds(n: int, scalar_bits: int, window_bits: int) -> int:
-    """Point-adds executed by the scatter-free Pippenger."""
-    windows = -(-scalar_bits // window_bits)
-    B = 1 << window_bits
-    return windows * (n + B + 64 * 6) + windows * window_bits
+def point_add_sol_per_s(n_limbs: int, fp2: bool = False) -> float:
+    """Speed-of-light point-adds/s if the VPU did nothing else."""
+    return VPU_U32_OPS_PER_S / point_add_u32_ops(n_limbs, fp2)
+
+
+def msm_work_point_adds(
+    n: int, scalar_bits: int, window_bits: int, signed: bool = True
+) -> int:
+    """Point-adds executed by one scatter-free Pippenger MSM: the
+    suffix scan does n adds per window, the bucket tail ~2 per bucket
+    (gv add + reduce level), the Horner combine window_bits doublings +
+    1 add per window.  Signed digits add one carry window and halve the
+    bucket count (pippenger.signed_window_digits)."""
+    windows = -(-scalar_bits // window_bits) + (1 if signed else 0)
+    B = ((1 << (window_bits - 1)) + 1) if signed else (1 << window_bits)
+    return windows * (n + 2 * B) + windows * (window_bits + 1)
 
 
 def ntt_butterflies(n: int) -> int:
