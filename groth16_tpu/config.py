@@ -44,20 +44,26 @@ class EngineConfig:
     # gather index (a second y-negated copy of the element-major plane),
     # costing HBM capacity, not bandwidth.
     msm_signed_digits: bool = True
-    # HBM budget for one window-group's gathered point copies (the MSM
-    # batches windows into groups; ~3x this is the peak extra footprint).
-    msm_group_bytes: int = 3 << 28  # 768 MiB
+    # HBM budget for one window-group's gathered point copies + (fused
+    # path) the prefix planes; ~1.5x this is the peak extra footprint.
+    # 3 GiB puts a whole 2^16 MSM (all ~23 windows) in ONE group on a
+    # 16 GB chip; 2^20 runs ~2 windows per group.
+    msm_group_bytes: int = 3 << 30  # 3 GiB
     # Chunk-count cap for the MSM suffix scan (scans.py): larger C means
     # fewer in-loop capture steps (K = npad / C) at the price of a wider
     # cross pass over chunk totals.
     msm_max_chunks: int = 4096
+    # Chunk-count cap for the FUSED scan kernel: its grid-step count is
+    # npad/blk independent of C, so C only sets the cross-pass width —
+    # keep it at the kernel's lane-tiling floor.
+    msm_max_chunks_fused: int = 512
     # Relative cost of one bucket-tail slot vs one suffix-scan point add
     # in the window chooser (see pippenger.choose_window_bits).  Round-4
     # measurement with the fused scan kernel + element-major boundary
-    # gathers: ~180 ns/bucket vs ~52 ns/point => ~4.  (The old
+    # gathers: ~85 ns/bucket vs ~41 ns/point => ~2.  (The old
     # fori_loop+capture path measured ~50; it is re-applied when the
     # fused kernel is unavailable, see pippenger._bucket_cost.)
-    msm_bucket_cost: int = 4
+    msm_bucket_cost: int = 2
     # Grid-carried Pallas suffix-scan kernel for MSM bucket accumulation
     # (msm/pallas_scan.py): accumulator lives in VMEM across sequential
     # grid steps, boundary values come from one element-major row gather.

@@ -83,19 +83,33 @@ def _scan_kernel_g1(spec: FpSpec, K: int, blk: int):
         fourp = c_ref[:, 2 * blk : 3 * blk]
         b3 = c_ref[:, 3 * blk : 4 * blk]
         one = c_ref[:, 4 * blk : 5 * blk]
+        zero = one ^ one
 
         @pl.when(gk == 0)
         def _():
-            zero = one ^ one
             ax[...] = zero
             ay[...] = one
             az[...] = zero
 
         xy = in_ref[0].T  # [blk, 2L] -> [2L, blk]
+        # signed-digit negation in VMEM: the sorted sign bit rides in
+        # BIT 31 of x's limb 0 (limbs are 15-bit, the high bits of the
+        # gathered rows are free — no extra input plane, no extra HBM).
+        # y -> 2p - y where set; infinity rows keep the (0, 0) sentinel
+        # (2p - y of a real point is never 0, and y = 0 rows are
+        # excluded by the inf2 guard).
+        sgn = xy[:1] >> 31  # [1, blk]
+        x2 = jnp.concatenate(
+            [xy[:1] & jnp.uint32(0x7FFFFFFF), xy[1:L]], axis=0
+        )
+        y2 = xy[L:]
+        inf2 = jnp.all(y2 == 0, axis=0, keepdims=True)
+        negy = _ksub(twop, y2, zero, L)
+        y2 = jnp.where((sgn != 0) & jnp.logical_not(inf2), negy, y2)
         X3, Y3, Z3 = mixed_add_g1_math(
             p_c, twop, fourp, b3,
             (ax[...], ay[...], az[...]),
-            (xy[:L], xy[L:]),
+            (x2, y2),
             n0, L,
         )
         ax[...] = X3
@@ -115,7 +129,9 @@ def suffix_scan_g1_rows(spec: FpSpec, b3_val: int, rows: jnp.ndarray,
 
     rows: uint32[R, K*C, 2L] element-major x||y limb rows in step-major
     storage (storage index k*C + c holds step k of chunk c); affine
-    infinity encoded (0, 0).  Returns
+    infinity encoded (0, 0); the signed-digit sign bit rides in bit 31
+    of x's limb 0 (the kernel negates y in VMEM — a second y-negated
+    row plane would pay the 128-lane HBM padding twice).  Returns
       prefix: uint32[R, K*C, 3L] — X||Y||Z at (k, c) = suffix sum of
               steps k..K-1 of chunk c (inclusive), element-major;
       totals: (X, Y, Z) each uint32[L, R, C] — full chunk sums,
@@ -282,10 +298,10 @@ def _scan_kernel_g2(spec: FpSpec, nr: int, K: int, blk: int):
             "nr2p": cc(4), "b3": (cc(5), cc(6)),
         }
         one = cc(7)
+        zero = one ^ one
 
         @pl.when(gk == 0)
         def _():
-            zero = one ^ one
             ax0[...] = zero
             ax1[...] = zero
             ay0[...] = one
@@ -295,12 +311,28 @@ def _scan_kernel_g2(spec: FpSpec, nr: int, K: int, blk: int):
 
         # rows: x0||x1||y0||y1 limbs (tower component major within coord)
         xy = in_ref[0].T  # [4L, blk]
+        # signed-digit negation in VMEM: sign bit rides in bit 31 of
+        # x0's limb 0.  y -> 2p - y componentwise when set — a zero
+        # component becomes the value 2p (still a legal < 8p mul input;
+        # the add body's products with Y2 stay inside the overflow
+        # ledger), and the (0, 0) infinity sentinel is preserved via
+        # the inf2 guard.
+        sgn = xy[:1] >> 31  # [1, blk]
+        x0 = jnp.concatenate(
+            [xy[:1] & jnp.uint32(0x7FFFFFFF), xy[1:L]], axis=0
+        )
+        y0, y1 = xy[2 * L : 3 * L], xy[3 * L :]
+        inf2 = jnp.all((y0 | y1) == 0, axis=0, keepdims=True)
+        neg = (sgn != 0) & jnp.logical_not(inf2)
+        twop = consts["2p"]
+        y0 = jnp.where(neg, _ksub(twop, y0, zero, L), y0)
+        y1 = jnp.where(neg, _ksub(twop, y1, zero, L), y1)
         P1 = (
             (ax0[...], ax1[...]),
             (ay0[...], ay1[...]),
             (az0[...], az1[...]),
         )
-        XY2 = ((xy[:L], xy[L : 2 * L]), (xy[2 * L : 3 * L], xy[3 * L :]))
+        XY2 = ((x0, xy[L : 2 * L]), (y0, y1))
         X3, Y3, Z3 = mixed_add_g2_math(consts, nr, P1, XY2, n0, L)
         ax0[...], ax1[...] = X3
         ay0[...], ay1[...] = Y3
@@ -322,7 +354,8 @@ def suffix_scan_g2_rows(spec: FpSpec, nr: int, b3_val, rows: jnp.ndarray,
     """G2 (Fp2) analog of suffix_scan_g1_rows.
 
     rows: uint32[R, K*C, 4L] element-major x0||x1||y0||y1 rows; affine
-    infinity encoded y = (0, 0).  Returns
+    infinity encoded y = (0, 0); the signed-digit sign bit rides in
+    bit 31 of x0's limb 0 (y negated in VMEM).  Returns
       prefix: uint32[R, K*C, 6L] (X0||X1||Y0||Y1||Z0||Z1);
       totals: (X, Y, Z) with each coord a [L, 2, R, C] limb tensor.
     """

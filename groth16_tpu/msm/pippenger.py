@@ -119,25 +119,37 @@ def first_ge_histogram(digits: jnp.ndarray, B: int) -> jnp.ndarray:
     nhi = max(1, -(-B // 128))
     d = digits.reshape((-1, N))
     R = d.shape[0]
-    hi = (d >> 7).astype(jnp.int32)
-    lo = (d & 127).astype(jnp.int32)
-    # chunk N so the materialized int8 one-hots stay <= ~64 MiB across
-    # all rows; contraction is exact in int32 (counts <= N < 2^31)
-    chunk = max(128, min(N, (1 << 26) // max(1, R * (nhi + 128))))
+    # lax.scan over chunks keeps the materialized int8 one-hots at one
+    # chunk's footprint (a single fused dot over [R, N, 128] spills
+    # ~R*N*(nhi+128) bytes of one-hots to HBM); contraction is exact in
+    # int32 (counts <= N < 2^31)
+    chunk = max(128, min(N, (1 << 23) // max(1, R * (nhi + 128))))
     while N % chunk:
         chunk -= 1
     nc = N // chunk
-    oh_hi = (
-        hi.reshape(R, nc, chunk)[..., None] == jnp.arange(nhi, dtype=jnp.int32)
-    ).astype(jnp.int8)
-    oh_lo = (
-        lo.reshape(R, nc, chunk)[..., None] == jnp.arange(128, dtype=jnp.int32)
-    ).astype(jnp.int8)
-    hist = jax.lax.dot_general(
-        oh_hi, oh_lo,
-        dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.int32,
-    ).sum(axis=1)  # [R, nhi, 128]
+    hi = (d >> 7).astype(jnp.int32).reshape(R, nc, chunk)
+    lo = (d & 127).astype(jnp.int32).reshape(R, nc, chunk)
+
+    def body(acc, dc):
+        hic, loc = dc  # each [R, chunk]
+        oh_hi = (
+            hic[..., None] == jnp.arange(nhi, dtype=jnp.int32)
+        ).astype(jnp.int8)
+        oh_lo = (
+            loc[..., None] == jnp.arange(128, dtype=jnp.int32)
+        ).astype(jnp.int8)
+        h = jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [R, nhi, 128]
+        return acc + h, None
+
+    hist, _ = jax.lax.scan(
+        body,
+        jnp.zeros((R, nhi, 128), jnp.int32),
+        (jnp.moveaxis(hi, 1, 0), jnp.moveaxis(lo, 1, 0)),
+    )
     cum = jnp.cumsum(hist.reshape(R, nhi * 128), axis=-1)
     return cum[:, : B - 1].reshape(lead + (B - 1,))
 
@@ -270,11 +282,21 @@ def msm_device_lanes(
 
     from groth16_tpu.msm.scans import _pick_chunks
 
-    C = _pick_chunks(npad, CONFIG.msm_max_chunks)
+    # chunk count: the capture path wants C large (K = npad/C fori_loop
+    # steps each cost XLA glue); the fused kernel's grid-step count is
+    # npad/blk REGARDLESS of C, while the cross pass over chunk totals
+    # costs ~C point-adds per (lane, window) — so the fused path takes C
+    # as small as the kernel's lane tiling allows (round-4 profile: the
+    # XLA cross pass at C = 4096 cost ~60% of the suffix scan itself).
+    C = _pick_chunks(npad, CONFIG.msm_max_chunks_fused if fused
+                     else CONFIG.msm_max_chunks)
     K = npad // C
     # the fused kernel's totals/prefix blocks need lane-aligned chunk
     # tiles; small shapes (CPU-scale tests) fall back to the capture scan
-    fused = fused and C % 128 == 0 and _pick_blk_cfg(C) % 128 == 0
+    if fused and not (C % 128 == 0 and _pick_blk_cfg(C) % 128 == 0):
+        fused = False
+        C = _pick_chunks(npad, CONFIG.msm_max_chunks)
+        K = npad // C
 
     # element-major AFFINE planes for the sorted gather: rows of
     # 2*ce contiguous u32 words gather at memory bandwidth, where
@@ -302,11 +324,14 @@ def msm_device_lanes(
     x_aff = g.k.select(inf_mask, zero_xy, points[0])
     y_aff = g.k.select(inf_mask, zero_xy, points[1])
     em = jnp.concatenate([to_rows(x_aff), to_rows(y_aff)], axis=-1)
-    if signed:
-        # second y-negated copy at element offset npad: a negative digit
-        # gathers row (i + npad) — the sign costs an index add, not an
-        # extra pass.  p - y is exact (< p) for real points; infinity
-        # rows stay (0, 0), the mixed-add identity sentinel.
+    if signed and not fused:
+        # capture path: second y-negated copy at element offset npad — a
+        # negative digit gathers row (i + npad), so the sign costs an
+        # index add, not an extra pass.  p - y is exact (< p) for real
+        # points; infinity rows stay (0, 0), the mixed-add identity
+        # sentinel.  (The fused kernel instead negates in VMEM from a
+        # sign plane: element-major rows pad to 128 lanes in HBM, so a
+        # second copy would cost real capacity.)
         negy_aff = g.k.select(inf_mask, zero_xy, g.k.neg(points[1], k=1))
         em = jnp.concatenate(
             [
@@ -320,12 +345,25 @@ def msm_device_lanes(
 
     # window grouping: wg windows per pass across ALL lanes, sized so the
     # gathered point copies stay within the HBM budget
-    bytes_per_window = lanes * npad * ce * 3 * 4
+    # the fused path materializes gathered rows (2*ce words/point) plus
+    # the 3-coordinate prefix (3*ce), and BOTH are element-major arrays
+    # whose minor dim pads to 128 lanes in HBM — account padded widths
+    # or a 16 GB chip OOMs at 2^20 (round-4 bench)
+    if fused:
+        pad128 = lambda w: -(-w // 128) * 128
+        bytes_per_window = lanes * npad * (
+            pad128(2 * ce) + pad128(3 * ce)
+        ) * 4
+    else:
+        bytes_per_window = lanes * npad * ce * 3 * 4
     wg = max(
         1,
         min(num_windows, CONFIG.msm_group_bytes // max(1, bytes_per_window)),
     )
     n_groups = -(-num_windows // wg)
+    # balance: ceil(W / groups) windows per group so the last group is
+    # not mostly zero-digit padding (14 + 9pad5 -> 12 + 11pad1)
+    wg = -(-num_windows // n_groups)
     w_padded = n_groups * wg
     if w_padded != num_windows:
         # pad with zero-digit windows at the HIGH end: Horner doubles and
@@ -399,6 +437,10 @@ def msm_device_lanes(
         return tuple(out)
 
     def _sort_gidx(digits_g, signs_g):
+        """-> (sorted_keys, order_t, sign_t): gather indices and (fused
+        path) the sorted sign bits, both pre-composed with the
+        step-major storage transpose."""
+        sign_sorted = None
         if packed:
             key = (digits_g << shift) | iota_b
             if signed:
@@ -406,9 +448,9 @@ def msm_device_lanes(
             sorted_keys = jax.lax.sort(key, dimension=2)
             gidx = sorted_keys & jnp.uint32((1 << idx_bits) - 1)
             if signed:
-                gidx = gidx + ((sorted_keys >> idx_bits) & 1) * jnp.uint32(
-                    npad
-                )
+                sign_sorted = (sorted_keys >> idx_bits) & 1
+                if not fused:
+                    gidx = gidx + sign_sorted * jnp.uint32(npad)
         else:
             key = (digits_g << extra) | signs_g if signed else digits_g
             sorted_keys, order = jax.lax.sort(
@@ -416,14 +458,25 @@ def msm_device_lanes(
             )
             gidx = order
             if signed:
-                gidx = gidx + (sorted_keys & 1) * jnp.uint32(npad)
+                sign_sorted = sorted_keys & 1
+                if not fused:
+                    gidx = gidx + sign_sorted * jnp.uint32(npad)
+
         # compose the step-major storage transpose (sorted position
         # j = c*K + k stored at k*C + c) into the GATHER indices — the
         # index array is transposed, never the gathered point data
-        order_t = jnp.swapaxes(
-            gidx.astype(jnp.int32).reshape(lanes, wg, C, K), -1, -2
-        ).reshape(lanes, wg, npad)
-        return sorted_keys, order_t
+        def t_storage(a):
+            return jnp.swapaxes(
+                a.reshape(lanes, wg, C, K), -1, -2
+            ).reshape(lanes, wg, npad)
+
+        order_t = t_storage(gidx.astype(jnp.int32))
+        sign_t = (
+            t_storage(sign_sorted.astype(jnp.uint32))
+            if (signed and fused)
+            else None
+        )
+        return sorted_keys, order_t, sign_t
 
     def _tail(cap, cross_excl, jc, valid) -> Point:
         """gv = captured within-chunk values + cross-chunk suffix at the
@@ -450,7 +503,9 @@ def msm_device_lanes(
             suffix_scan_g2_rows,
         )
 
-        _, order_t = _sort_gidx(digits_g, signs_g)
+        _, order_t, sign_t = _sort_gidx(digits_g, signs_g)
+        if sign_t is None:
+            sign_t = jnp.zeros((lanes, wg, npad), jnp.uint32)
         # bucket boundaries from the raw digits (no sort dependency —
         # XLA overlaps the histogram with the sort)
         first_ge = first_ge_histogram(digits_g, B)
@@ -460,6 +515,17 @@ def msm_device_lanes(
         rows = jnp.take_along_axis(
             em[:, None, :, :], order_t[..., None], axis=2
         ).reshape(lanes * wg, npad, 2 * ce)
+        # the sorted sign bit rides in BIT 31 of column 0 (x's limb 0;
+        # limbs are 15-bit so the high bits are free) — an elementwise
+        # OR that XLA fuses into the gather, instead of a separate
+        # input plane (whose tiling the kernel could not block) or a
+        # second y-negated em copy (which would double the 128-lane
+        # HBM padding)
+        col0 = jnp.arange(2 * ce, dtype=jnp.uint32) == 0
+        sgn = sign_t.reshape(lanes * wg, npad)
+        rows = rows | jnp.where(
+            col0, (sgn << 31)[..., None], jnp.uint32(0)
+        )
         blk = _pick_blk_cfg(C)
         if tower_deg == 1:
             prefix, totals = suffix_scan_g1_rows(
@@ -513,7 +579,7 @@ def msm_device_lanes(
         fori_loop suffix scan captures the T = B-1 bucket-boundary
         values in flight (positions from searchsorted on the sorted
         keys) instead of materializing npad projective prefix values."""
-        sorted_keys, order_t = _sort_gidx(digits_g, signs_g)
+        sorted_keys, order_t, _ = _sort_gidx(digits_g, signs_g)
         # sorted_keys = digit << shift (+ lower-order sign/index bits),
         # so first-key >= (v << shift) iff digit >= v: the keys feed
         # searchsorted as-is.

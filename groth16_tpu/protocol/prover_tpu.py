@@ -271,9 +271,11 @@ def _assembly_jit(
 
 
 def _decode_proj_host(curve: str, ops, coords, idx=None):
-    """Device homogeneous-projective (X, Y, Z) limb coords -> host
+    """HOST homogeneous-projective (X, Y, Z) limb coords (numpy) -> host
     affine point (or None for infinity).  coords: 3 arrays shaped
-    [*cs] or [*cs, lanes] (idx selects the lane)."""
+    [*cs] or [*cs, lanes] (idx selects the lane).  Callers must fetch
+    the device arrays FIRST (one jax.device_get for everything — each
+    separate fetch costs a ~25 ms tunnel round trip)."""
     c = get_curve(curve)
     spec = make_spec(c.p, name=f"{curve}.Fq")
     vals = []
@@ -304,11 +306,13 @@ def _host_assembly(pk: ProvingKey, acc4, b2_acc, r: int, s: int) -> Proof:
     curve = pk.vk.curve
     c = get_curve(curve)
     g1, g2 = _ops(curve)
+    # ONE device->host fetch for all five accumulators (per-array reads
+    # each pay the tunnel's ~25 ms round trip)
+    acc4_np, b2_np = jax.device_get((acc4, b2_acc))
     a_acc, b1_acc, h_acc, l_acc = (
-        _decode_proj_host(curve, g1, tuple(x for x in acc4), i)
-        for i in range(4)
+        _decode_proj_host(curve, g1, acc4_np, i) for i in range(4)
     )
-    b2_aff = _decode_proj_host(curve, g2, tuple(x for x in b2_acc))
+    b2_aff = _decode_proj_host(curve, g2, b2_np)
 
     delta = g1.from_affine(pk.delta_g1)
 
@@ -514,7 +518,15 @@ class TpuProver:
         rs_b = jnp.stack(
             [scalar_bits_array(r * s % rr, nbits) for r, s in zip(rs, ss)]
         )
-        out = _prove_batch_phases(self.curve, self.dpk, z_b, r_b, s_b, rs_b)
+        # the vmapped MSM multiplies every per-group buffer by B —
+        # shrink the window-group HBM budget accordingly or a 16 GB
+        # chip OOMs at B >= 4 x 2^16
+        from groth16_tpu.config import CONFIG, configure
+
+        with configure(msm_group_bytes=max(1 << 28,
+                                           CONFIG.msm_group_bytes // B)):
+            out = _prove_batch_phases(self.curve, self.dpk, z_b, r_b,
+                                      s_b, rs_b)
         return [
             decode_proof_arrays(self.curve, tuple(x[i] for x in out))
             for i in range(B)

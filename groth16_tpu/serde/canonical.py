@@ -464,10 +464,24 @@ def _gt_template(curve: str):
 
 def ser_gt(el, c: CurveParams) -> bytes:
     """GT element -> bytes: recursive c0||c1(||c2) little-endian Fp dump
-    (data_structures.rs:90 `alpha_g1_beta_g2: E::TargetField`).  For the
-    BLS/BN Fp12 tower this is the ark layout; the Tate families (BW6,
-    MNT) use this engine's own Kh[v] tower basis — a stable internal
-    format (cache/transport), not ark-ec's GT basis."""
+    (data_structures.rs:90 `alpha_g1_beta_g2: E::TargetField`).
+
+    Basis parity with ark-ec (tests/test_gt_basis.py):
+      * BLS/BN: the Fp12 2-over-3-over-2 tower in ark coefficient order.
+      * Tate families: this engine's GT = Kh[v]/(v^2 - u) with
+        Kh = Fq[u]/(u^d - nr) COINCIDES with ark-ec's tower — BW6/MNT6
+        Fp6_2over3 and MNT4's Fp4 both set the quadratic-step
+        nonresidue to u, and the registered Kh nonresidues (-4 / 17 / 5,
+        curves/params.py) are the published ark config constants.  The
+        flatten order (c0 coefficients then c1) matches QuadExtField's
+        CanonicalSerialize.
+    Caveat (PLAN.md): the VALUE serialized for a PreparedVerifyingKey's
+    alpha_g1_beta_g2 is this engine's TATE pairing; ark-ec computes the
+    ATE pairing for BW6/MNT, so PVK bytes are a local cache format for
+    those families (ark's PVK also stores G2Prepared line coefficients,
+    which this engine deliberately replaces with plain affine points —
+    see serialize_prepared_verifying_key).  Proof/VK/PK — the actual
+    interchange surface — are ark-format for all six curves."""
     return b"".join(_ser_fp(v, c.p) for v in _flatten_ext(el))
 
 
