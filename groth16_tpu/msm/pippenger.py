@@ -119,11 +119,16 @@ def first_ge_histogram(digits: jnp.ndarray, B: int) -> jnp.ndarray:
     nhi = max(1, -(-B // 128))
     d = digits.reshape((-1, N))
     R = d.shape[0]
-    # lax.scan over chunks keeps the materialized int8 one-hots at one
+    # lax.scan over chunks keeps the materialized one-hots at one
     # chunk's footprint (a single fused dot over [R, N, 128] spills
-    # ~R*N*(nhi+128) bytes of one-hots to HBM); contraction is exact in
-    # int32 (counts <= N < 2^31)
-    chunk = max(128, min(N, (1 << 23) // max(1, R * (nhi + 128))))
+    # ~R*N*(nhi+128) bytes of one-hots to HBM).  bf16 one-hots with
+    # fp32 accumulation: per-chunk counts <= chunk <= 2048 < 2^24 are
+    # EXACT in fp32, and the per-chunk result converts to int32 before
+    # the cross-chunk sum.  (An int8->int32 dot variant miscompiled
+    # inside the full MSM program on the v5e backend — correct in
+    # isolation, wrong boundaries under fusion; round-4 bug hunt.)
+    chunk = max(128, min(N, 2048,
+                         (1 << 23) // max(1, R * (nhi + 128))))
     while N % chunk:
         chunk -= 1
     nc = N // chunk
@@ -134,16 +139,16 @@ def first_ge_histogram(digits: jnp.ndarray, B: int) -> jnp.ndarray:
         hic, loc = dc  # each [R, chunk]
         oh_hi = (
             hic[..., None] == jnp.arange(nhi, dtype=jnp.int32)
-        ).astype(jnp.int8)
+        ).astype(jnp.bfloat16)
         oh_lo = (
             loc[..., None] == jnp.arange(128, dtype=jnp.int32)
-        ).astype(jnp.int8)
+        ).astype(jnp.bfloat16)
         h = jax.lax.dot_general(
             oh_hi, oh_lo,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.float32,
         )  # [R, nhi, 128]
-        return acc + h, None
+        return acc + h.astype(jnp.int32), None
 
     hist, _ = jax.lax.scan(
         body,

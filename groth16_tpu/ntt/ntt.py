@@ -136,6 +136,41 @@ def _bitrev_storage_perm(n: int, m0: int) -> np.ndarray:
     return ((rev % m0) * B + rev // m0).astype(np.int32)
 
 
+def _bitrev_last_fast(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    """out[.., k] = a[.., bitrev(k)] via factored permutation.
+
+    A minor-axis gather with the n-entry bit-reversal table costs
+    ~20 ns/element on TPU (0.5 s per 2^20 NTT).  Splitting k's bits as
+    (i: p hi, j: q lo), bitrev(k) = rev_q(j)*2^p + rev_p(i), so the
+    permutation factors into two SECOND-minor-axis row gathers (moving
+    contiguous lane rows at near-bandwidth) around one native
+    transpose:
+        a2 = a.reshape(2^q, 2^p);  out2[i, j] = a2[rev_q(j), rev_p(i)]
+        out = rowperm(swap(rowperm(a2, rev_q)), rev_p)
+    """
+    log_n = n.bit_length() - 1
+    if log_n < 2:
+        return a
+    p = log_n // 2
+    q = log_n - p
+    A, B = 1 << p, 1 << q
+    lead = a.shape[:-1]
+
+    def rev_idx(bits: int) -> np.ndarray:
+        m = 1 << bits
+        idx = np.arange(m)
+        out = np.zeros(m, np.int32)
+        for b in range(bits):
+            out |= ((idx >> b) & 1) << (bits - 1 - b)
+        return out
+
+    x = a.reshape(lead + (B, A))
+    x = jnp.take(x, jnp.asarray(rev_idx(q)), axis=-2)
+    x = jnp.swapaxes(x, -1, -2)  # [.., A, B]
+    x = jnp.take(x, jnp.asarray(rev_idx(p)), axis=-2)
+    return x.reshape(lead + (n,))
+
+
 def _stage_twiddles(spec: FpSpec, root_powers: jnp.ndarray):
     """Per-DIF-stage twiddle vectors, sliced once from the n-entry power
     table: stage s (block m = n>>s, half h = m/2) multiplies its upper
@@ -194,7 +229,7 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
         a = jnp.concatenate([sum_, diff], axis=-1).reshape(lead + (n,))
 
     if split == log_n:
-        return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-1)
+        return _bitrev_last_fast(a, n)
 
     # Phase B — small blocks: one bulk transpose to [.., m, B] puts the
     # big block count B on the lane axis; butterflies now slice the
@@ -213,10 +248,12 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
         sum_ = fp.cond_sub(spec, u + v, spec.two_p_limbs)
         diff = fp.mont_mul(spec, fp.sub(spec, u, v, k=2), tw)
         a = jnp.concatenate([sum_, diff], axis=-2).reshape(lead + (m0, B))
-    # output element j = b*m0 + q sits at storage q*B + b; compose that
-    # transpose with the DIF bit-reversal in one final gather
-    a = a.reshape(lead + (n,))
-    return jnp.take(a, jnp.asarray(_bitrev_storage_perm(n, m0)), axis=-1)
+    # output element j = b*m0 + q sits at storage q*B + b: undo the
+    # storage transpose with a native swap, then the (static)
+    # bit-reversal via the factored fast path — both near-bandwidth,
+    # where the old single composed gather ran at ~20 ns/element
+    a = jnp.swapaxes(a.reshape(lead + (m0, B)), -1, -2).reshape(lead + (n,))
+    return _bitrev_last_fast(a, n)
 
 
 def _odd_radixes(n: int):
