@@ -81,6 +81,21 @@ def _bucket_cost(g: CurveDevice) -> int:
     return CONFIG.msm_bucket_cost if _fused_scan_ok(g) else 50
 
 
+def signed_num_windows(scalar_bits: int, c: int) -> int:
+    """Window count for the signed-digit recode, WITHOUT a carry window
+    when one is provably unnecessary.
+
+    With W = ceil(sb/c) windows the top window's raw digit is
+    < 2^(sb - c*(W-1)) = 2^(c - slack) where slack = W*c - sb.  With
+    slack >= 1 that is <= 2^(c-1) even after the +1 recode carry, so the
+    top window never negates and never carries out — the extra window
+    the recode would emit is identically zero (round-5: this was a
+    whole wasted n-add scan pass per MSM, ~5% of the G1 phase).  Only
+    when c divides sb exactly is the carry window real."""
+    W = -(-scalar_bits // c)
+    return W + (1 if W * c == scalar_bits else 0)
+
+
 def choose_window_bits(
     n: int, scalar_bits: int, signed: bool = False, bucket_cost: int | None = None
 ) -> int:
@@ -92,11 +107,16 @@ def choose_window_bits(
     ns/bucket vs ~52 ns/point (KB ~ 4), moving the optimum to c ~ 12-13
     at 2^16..2^20; the fori_loop capture path keeps the round-3 KB ~ 50
     (optimum c ~ 9-10).  Signed digits halve the bucket count
-    (magnitudes in [0, 2^(c-1)]) at the price of one carry window."""
+    (magnitudes in [0, 2^(c-1)]) at the price of at most one carry
+    window (signed_num_windows)."""
     kb = CONFIG.msm_bucket_cost if bucket_cost is None else bucket_cost
     best_c, best_cost = 4, None
     for c in range(4, 17):
-        windows = -(-scalar_bits // c) + (1 if signed else 0)
+        windows = (
+            signed_num_windows(scalar_bits, c)
+            if signed
+            else -(-scalar_bits // c)
+        )
         buckets = (1 << (c - 1)) if signed else (1 << c)
         cost = windows * (n + kb * buckets)
         if best_cost is None or cost < best_cost:
@@ -126,7 +146,10 @@ def first_ge_histogram(digits: jnp.ndarray, B: int) -> jnp.ndarray:
     # EXACT in fp32, and the per-chunk result converts to int32 before
     # the cross-chunk sum.  (An int8->int32 dot variant miscompiled
     # inside the full MSM program on the v5e backend — correct in
-    # isolation, wrong boundaries under fusion; round-4 bug hunt.)
+    # isolation, wrong boundaries under fusion; round-4 bug hunt.
+    # Pinned by tests/test_msm_fused.py::
+    # test_histogram_exact_inside_msm_program_large_B — do not revert
+    # to integer dots without that test passing on the TPU backend.)
     chunk = max(128, min(N, 2048,
                          (1 << 23) // max(1, R * (nhi + 128))))
     while N % chunk:
@@ -187,22 +210,25 @@ def all_window_digits(scalars: jnp.ndarray, c: int, scalar_bits: int) -> jnp.nda
 def signed_window_digits(scalars: jnp.ndarray, c: int, scalar_bits: int):
     """Signed-digit recode: scalar = sum_w (-1)^{s_w} m_w 2^{cw} with
     magnitudes m_w in [0, 2^(c-1)].  Low-to-high carry pass: a raw digit
-    d + carry > 2^(c-1) becomes 2^c - d (negated) with carry 1; the
-    final carry lands in one extra top window (always non-negative).
-    Returns (mags, signs): each [ceil(scalar_bits/c) + 1, N] uint32."""
-    num_windows = -(-scalar_bits // c)
+    d + carry > 2^(c-1) becomes 2^c - d (negated) with carry 1; a final
+    carry (possible only when c divides scalar_bits — see
+    signed_num_windows) lands in one extra top window.
+    Returns (mags, signs): each [signed_num_windows(sb, c), N] uint32."""
+    num_raw = -(-scalar_bits // c)
+    total = signed_num_windows(scalar_bits, c)
     half = jnp.uint32(1 << (c - 1))
     full = jnp.uint32(1 << c)
     carry = jnp.zeros_like(scalars[0])
     mags, signs = [], []
-    for w in range(num_windows):
+    for w in range(num_raw):
         d = window_digits(scalars, c, w) + carry  # <= 2^c
         neg = d > half
         mags.append(jnp.where(neg, full - d, d))
         signs.append(neg.astype(jnp.uint32))
         carry = neg.astype(jnp.uint32)
-    mags.append(carry)
-    signs.append(jnp.zeros_like(carry))
+    if total > num_raw:
+        mags.append(carry)
+        signs.append(jnp.zeros_like(carry))
     return jnp.stack(mags, axis=0), jnp.stack(signs, axis=0)
 
 
@@ -262,7 +288,7 @@ def msm_device_lanes(
         n, scalar_bits, signed, bucket_cost=_bucket_cost(g)
     )
     if signed:
-        num_windows = -(-scalar_bits // c) + 1  # +1: recode carry window
+        num_windows = signed_num_windows(scalar_bits, c)
         B = (1 << (c - 1)) + 1  # magnitudes 0..2^(c-1)
         digits_all, signs_all = jax.vmap(
             lambda s: signed_window_digits(s, c, scalar_bits)

@@ -137,7 +137,9 @@ class ShardedProver:
         self.c = get_curve(self.curve)
         self.fr = make_spec(self.c.r, name=f"{self.curve}.Fr")
         S = axis_size(self.mesh, axis)
-        self.dpk = upload_proving_key(pk, matrices, pad_multiple=S)
+        self.dpk = upload_proving_key(
+            pk, matrices, pad_multiple=S, layout="stacked"
+        )
         # place the large query tensors sharded over the mesh element
         # axis at upload time (SURVEY.md §5.4: PKs for 2^24 constraints
         # are tens of GB — they must land directly in sharded HBM, never

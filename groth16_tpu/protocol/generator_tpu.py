@@ -1,12 +1,21 @@
 """Trusted setup with device fixed-base batch muls (the setup hot loop).
 
 Mirrors generate_parameters_with_qap (/root/reference/src/generator.rs:47-208,
-SURVEY.md §3.1) exactly, but the ~5 G1 + 1 G2 fixed-base batch
-multiplications — the dominant cost (generator.rs:129-183) — run on device
-via the shared-window-table kernel (msm/fixed_base.py).  The QAP instance
-map (Lagrange evaluation + sparse accumulate) stays on the host exact
-engine for now; it is O(n) field ops vs. O(n * bits) group ops for the
-batch muls.
+SURVEY.md §3.1) exactly, with BOTH hot sides on device:
+
+* the ~5 G1 + 1 G2 fixed-base batch multiplications (the dominant cost,
+  generator.rs:129-183) via the shared-window-table kernel
+  (msm/fixed_base.py);
+* the QAP instance map — Lagrange evaluation + per-variable sparse
+  accumulate (r1cs_to_qap.rs:128-170) — plus the gamma_abc/l key-scalar
+  maps (generator.rs:113-123) and the h-query powers
+  (r1cs_to_qap.rs:237-247), via qap/device.instance_map_device and the
+  device power tables (round 5; previously these were O(n) host Python
+  bigint loops, tens of seconds at 2^20).
+
+Mixed-radix (MNT) domains keep the exact host instance map — the device
+Lagrange identity is radix-2-specific.  Bit-identical either way
+(tests/test_generator_device_qap.py).
 """
 
 from __future__ import annotations
@@ -75,6 +84,90 @@ class _DeviceBatchMul:
         out = batch_mul_device(self.g, self.table, s, self.c, self.bits)
         return self.from_device(out)[:n]
 
+    def call_std_device(self, s_std) -> List:
+        """Batch mul on an ALREADY-DEVICE standard-form scalar tensor
+        uint32[Ls, n] (the device-QAP setup path: key scalars never
+        visit the host)."""
+        import jax.numpy as jnp
+
+        n = s_std.shape[-1]
+        npad = self._pad_to(n)
+        if npad != n:
+            s_std = jnp.pad(s_std, ((0, 0), (0, npad - n)))
+        out = batch_mul_device(self.g, self.table, s_std, self.c, self.bits)
+        return self.from_device(out)[:n]
+
+
+def _device_setup_scalars(
+    c, fr_spec, ndom, matrices, t,
+    alpha, beta, gamma, delta, gamma_inv, delta_inv, num_instance,
+):
+    """All setup key scalars built ON DEVICE in one jitted program:
+    instance map (qap/device.instance_map_device), the gamma_abc / l
+    maps (generator.rs:113-123: (beta*a_i + alpha*b_i + c_i) * gamma^-1
+    resp. delta^-1), and the h-query powers Z(t)*delta^-1*t^i
+    (r1cs_to_qap.rs:237-247) — returned as ONE standard-form scalar
+    tensor per group, ready for the fixed-base batch muls.  Replaces
+    O(n) host Python bigint loops (round-4 Weak #4).
+
+    Returns (n_hint, counts, g1_std, g2_std) with counts =
+    (len a, len b, len h, len l, len gamma_abc) and the G1 tensor laid
+    out [a | b | h | l | gamma_abc | alpha beta delta], the G2 tensor
+    [b | beta gamma delta] (generator.rs:129-183 order)."""
+    import jax.numpy as jnp
+
+    from groth16_tpu.fields import fp
+    from groth16_tpu.fields.spec import encode
+    from groth16_tpu.ntt.ntt import powers_device
+    from groth16_tpu.qap.device import (
+        encode_matrix_transposed,
+        instance_map_device,
+    )
+
+    r = c.r
+    num_vars = num_instance + matrices.num_witness_variables
+    flat = matrices.flatten()
+    mats_t = {
+        k: encode_matrix_transposed(v, fr_spec, num_vars)
+        for k, v in flat.items()
+    }
+    n = ndom.size
+    zt = (pow(t, n, r) - 1) % r
+    zt_dinv = zt * delta_inv % r
+
+    @jax.jit
+    def build():
+        a, b, cc = instance_map_device(
+            fr_spec, ndom, mats_t, t, num_instance,
+            matrices.num_constraints,
+        )
+        s = fp.add_strict(
+            fr_spec,
+            fp.add_strict(
+                fr_spec,
+                fp.mul_const(fr_spec, a, beta),
+                fp.mul_const(fr_spec, b, alpha),
+            ),
+            cc,
+        )
+        gabc = fp.mul_const(fr_spec, s[:, :num_instance], gamma_inv)
+        l = fp.mul_const(fr_spec, s[:, num_instance:], delta_inv)
+        # t^i table built by log-doubling (pow2 length), sliced to n-1
+        h = fp.mul_const(
+            fr_spec, powers_device(fr_spec, t, n)[:, : n - 1], zt_dinv
+        )
+        g1_m = jnp.concatenate([a, b, h, l, gabc], axis=-1)
+        return fp.from_mont(fr_spec, g1_m), fp.from_mont(fr_spec, b)
+
+    g1_std, b_std = build()
+    c3 = jnp.asarray(encode([alpha, beta, delta], fr_spec, mont=False))
+    g1_std = jnp.concatenate([g1_std, c3], axis=-1)
+    c3g2 = jnp.asarray(encode([beta, gamma, delta], fr_spec, mont=False))
+    g2_std = jnp.concatenate([b_std, c3g2], axis=-1)
+    counts = (num_vars, num_vars, n - 1, num_vars - num_instance,
+              num_instance)
+    return num_vars, counts, g1_std, g2_std
+
 
 def generate_parameters_with_qap_device(
     circuit: Callable,
@@ -100,52 +193,73 @@ def generate_parameters_with_qap_device(
     domain = RefDomain(fr, cs.num_constraints + cs.num_instance_variables)
     t = domain.sample_element_outside_domain(rng)
 
-    a, b, c_evals, zt, qap_num_variables, m_raw = qap.instance_map_with_evaluation(
-        matrices, fr, t
-    )
-
     if gamma % r == 0 or delta % r == 0:
         raise SynthesisError(SynthesisError.Kind.UNEXPECTED_IDENTITY)
     gamma_inv = pow(gamma, r - 2, r)
     delta_inv = pow(delta, r - 2, r)
-
     num_instance = cs.num_instance_variables
-    gamma_abc = [
-        (beta * a[i] + alpha * b[i] + c_evals[i]) % r * gamma_inv % r
-        for i in range(num_instance)
-    ]
-    l_scalars = [
-        (beta * a[i] + alpha * b[i] + c_evals[i]) % r * delta_inv % r
-        for i in range(num_instance, qap_num_variables + 1)
-    ]
-    h_scalars = qap.h_query_scalars(m_raw - 1, t, zt, delta_inv, fr)
 
     bits = r.bit_length()
     g1 = codec.g1_ops(c)
     g2 = codec.g2_ops(c)
-    n_hint = len(a)
+
+    from groth16_tpu.ntt.ntt import NttDomain
+
+    ndom = NttDomain(fr, cs.num_constraints + num_instance)
+    device_qap = (
+        qap is LibsnarkReduction
+        and not ndom.radixes  # radix-2 Lagrange identity only
+        and ndom.size == domain.size
+    )
+    if device_qap:
+        n_scalars, counts, g1_std, g2_std = _device_setup_scalars(
+            c, fr_spec, ndom, matrices, t,
+            alpha, beta, gamma, delta, gamma_inv, delta_inv, num_instance,
+        )
+    else:
+        a, b, c_evals, zt, qap_num_variables, m_raw = (
+            qap.instance_map_with_evaluation(matrices, fr, t)
+        )
+        gamma_abc = [
+            (beta * a[i] + alpha * b[i] + c_evals[i]) % r * gamma_inv % r
+            for i in range(num_instance)
+        ]
+        l_scalars = [
+            (beta * a[i] + alpha * b[i] + c_evals[i]) % r * delta_inv % r
+            for i in range(num_instance, qap_num_variables + 1)
+        ]
+        h_scalars = qap.h_query_scalars(m_raw - 1, t, zt, delta_inv, fr)
+        g1_list = (
+            list(a) + list(b) + list(h_scalars) + list(l_scalars)
+            + list(gamma_abc) + [alpha, beta, delta]
+        )
+        counts = (len(a), len(b), len(h_scalars), len(l_scalars),
+                  len(gamma_abc))
+        n_scalars = len(a)
+
     bm_g1 = _DeviceBatchMul(
         g1, g1_generator,
         lambda pts: codec.g1_to_device(c, pts),
         lambda pt: codec.g1_from_device(c, g1, _affine_batch(g1, pt)),
-        bits, n_hint,
+        bits, n_scalars,
     )
     bm_g2 = _DeviceBatchMul(
         g2, g2_generator,
         lambda pts: codec.g2_to_device(c, pts),
         lambda pt: codec.g2_from_device(c, g2, _affine_batch(g2, pt)),
-        bits, n_hint,
+        bits, n_scalars,
     )
 
     # ONE padded G1 call and ONE padded G2 call cover every query
     # (generator.rs:129-183's six batch_muls share the generators, so
     # concatenating the scalar vectors costs nothing and compiles a
     # single program shape per group)
-    g1_scalars = (
-        list(a) + list(b) + list(h_scalars) + list(l_scalars)
-        + list(gamma_abc) + [alpha, beta, delta]
-    )
-    g1_pts = bm_g1(fr_spec, g1_scalars)
+    if device_qap:
+        g1_pts = bm_g1.call_std_device(g1_std)
+        g2_pts = bm_g2.call_std_device(g2_std)
+    else:
+        g1_pts = bm_g1(fr_spec, g1_list)
+        g2_pts = bm_g2(fr_spec, list(b) + [beta, gamma, delta])
     ofs = 0
 
     def take(k):
@@ -154,15 +268,15 @@ def generate_parameters_with_qap_device(
         ofs += k
         return out
 
-    a_query = take(len(a))
-    b_g1_query = take(len(b))
-    h_query = take(len(h_scalars))
-    l_query = take(len(l_scalars))
-    gamma_abc_g1 = take(len(gamma_abc))
+    na, nb, nh, nl, ni = counts
+    a_query = take(na)
+    b_g1_query = take(nb)
+    h_query = take(nh)
+    l_query = take(nl)
+    gamma_abc_g1 = take(ni)
     sm1 = take(3)
-    g2_pts = bm_g2(fr_spec, list(b) + [beta, gamma, delta])
-    b_g2_query = g2_pts[: len(b)]
-    sm2 = g2_pts[len(b) :]
+    b_g2_query = g2_pts[:nb]
+    sm2 = g2_pts[nb:]
 
     vk = VerifyingKey(
         curve=curve,

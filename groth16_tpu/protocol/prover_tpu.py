@@ -116,6 +116,22 @@ def _subscale_jit(curve: str, ab: jnp.ndarray, zg_inv: int, c_rows: jnp.ndarray)
     )
 
 
+def _group_scalars(dpk: DeviceProvingKey, rho_std, h_std, aux_std):
+    """Per-size-class scalar stacks matching dpk.g1_groups: each lane
+    pads only to ITS group's npad (device_keys.group_lane_sizes), not to
+    the h_query length."""
+    srcs = [
+        rho_std[:, : dpk.nv_tail],
+        rho_std[:, : dpk.nv_tail],
+        h_std[:, : dpk.n_h],
+        aux_std[:, : dpk.n_aux],
+    ]
+    return tuple(
+        jnp.stack([_pad_scalars(srcs[i], npad_g) for i in lane_ids], axis=0)
+        for npad_g, lane_ids in dpk.g1_group_info
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _scalar_prep_jit(curve: str, dpk: DeviceProvingKey, h_mont, z_mont):
     c = get_curve(curve)
@@ -124,17 +140,7 @@ def _scalar_prep_jit(curve: str, dpk: DeviceProvingKey, h_mont, z_mont):
     z_std = fp.from_mont(fr, z_mont)
     rho_std = z_std[:, 1:]
     aux_std = z_std[:, dpk.num_inputs :]
-    n_pad = dpk.n_pad
-    scalars4 = jnp.stack(
-        [
-            _pad_scalars(rho_std, n_pad),
-            _pad_scalars(rho_std, n_pad),
-            _pad_scalars(h_std[:, : dpk.n_h], n_pad),
-            _pad_scalars(aux_std[:, : dpk.n_aux], n_pad),
-        ],
-        axis=0,
-    )
-    return scalars4, rho_std
+    return _group_scalars(dpk, rho_std, h_std, aux_std), rho_std
 
 
 def _witness_fine(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
@@ -176,29 +182,31 @@ def _witness_jit(curve: str, dpk: DeviceProvingKey, z_mont: jnp.ndarray):
     z_std = fp.from_mont(fr, z_mont)
     rho_std = z_std[:, 1:]
     aux_std = z_std[:, dpk.num_inputs :]
-    n_pad = dpk.n_pad
-    scalars4 = jnp.stack(
-        [
-            _pad_scalars(rho_std, n_pad),
-            _pad_scalars(rho_std, n_pad),
-            _pad_scalars(h_std[:, : dpk.n_h], n_pad),
-            _pad_scalars(aux_std[:, : dpk.n_aux], n_pad),
-        ],
-        axis=0,
-    )
-    return scalars4, rho_std
+    return _group_scalars(dpk, rho_std, h_std, aux_std), rho_std
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _msm_g1_jit(curve: str, dpk: DeviceProvingKey, scalars4: jnp.ndarray):
-    """Phase 2a: ONE lane-batched G1 MSM over the 4 query lanes:
-    a_query[1:], b_g1_query[1:], h_query (zip-truncated to n-1), l_query
-    (prover.rs:63-113).  Lanes ride the window-group batch dimension, so
-    the whole G1 phase is a single sequence of wide device ops."""
+def _msm_g1_jit(curve: str, dpk: DeviceProvingKey, scalars_g):
+    """Phase 2a: the 4 G1 query MSMs — a_query[1:], b_g1_query[1:],
+    h_query (zip-truncated to n-1), l_query (prover.rs:63-113) — run as
+    one lane-batched MSM PER SIZE CLASS (device_keys.group_lane_sizes):
+    the short rho/aux lanes don't pad to the h_query length, and lanes
+    within a class ride the window-group batch dimension.  Returns the
+    four accumulators re-stacked in canonical lane order ([..., 4])."""
     c = get_curve(curve)
     g1 = codec.g1_ops(c)
     sbits = c.r.bit_length()
-    return msm_device_lanes(g1, dpk.g1_msm_points, scalars4, sbits)
+    by_lane = [None] * 4
+    for (npad_g, lane_ids), pts, sc in zip(
+        dpk.g1_group_info, dpk.g1_groups, scalars_g
+    ):
+        acc = msm_device_lanes(g1, pts, sc, sbits)
+        for j, lane in enumerate(lane_ids):
+            by_lane[lane] = tuple(x[..., j] for x in acc)
+    return tuple(
+        jnp.stack([by_lane[i][k] for i in range(4)], axis=-1)
+        for k in range(3)
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -301,14 +309,21 @@ def _host_assembly(pk: ProvingKey, acc4, b2_acc, r: int, s: int) -> Proof:
     the device boundary (a few hundred bytes) — the same single
     device->host fence the proof decode needed anyway.  Bit-identical
     to the device assembly (tests/test_prover_device.py)."""
+    # ONE device->host fetch for all five accumulators (per-array reads
+    # each pay the tunnel's ~25 ms round trip)
+    acc4_np, b2_np = jax.device_get((acc4, b2_acc))
+    return _host_assembly_np(pk, acc4_np, b2_np, r, s)
+
+
+def _host_assembly_np(pk: ProvingKey, acc4_np, b2_np, r: int, s: int) -> Proof:
+    """_host_assembly on already-fetched numpy accumulators (the batch
+    prover fetches a whole batch in one device_get and assembles each
+    proof from its slice)."""
     from groth16_tpu.protocol.prover import _ops
 
     curve = pk.vk.curve
     c = get_curve(curve)
     g1, g2 = _ops(curve)
-    # ONE device->host fetch for all five accumulators (per-array reads
-    # each pay the tunnel's ~25 ms round trip)
-    acc4_np, b2_np = jax.device_get((acc4, b2_acc))
     a_acc, b1_acc, h_acc, l_acc = (
         _decode_proj_host(curve, g1, acc4_np, i) for i in range(4)
     )
@@ -411,25 +426,6 @@ def _msm_g2_batch_jit(curve, dpk, rho_b):
     return jax.vmap(lambda r: _msm_g2_jit.__wrapped__(curve, dpk, r))(rho_b)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _assembly_batch_jit(curve, dpk, acc4_b, b2_b, r_b, s_b, rs_b):
-    return jax.vmap(
-        lambda a4, b2, rb, sb, rsb: _assembly_jit.__wrapped__(
-            curve, dpk, a4, b2, rb, sb, rsb
-        )
-    )(acc4_b, b2_b, r_b, s_b, rs_b)
-
-
-def _prove_batch_phases(curve, dpk, z_b, r_b, s_b, rs_b):
-    """vmapped prove: B proofs of the same circuit shape (the
-    batch/pipeline-parallel analog of SURVEY.md §2.4 batch_pp — many
-    proofs in flight with one set of compiled programs)."""
-    s4_b, rho_b = _witness_batch_jit(curve, dpk, z_b)
-    acc4_b = _msm_g1_batch_jit(curve, dpk, s4_b)
-    b2_b = _msm_g2_batch_jit(curve, dpk, rho_b)
-    return _assembly_batch_jit(curve, dpk, acc4_b, b2_b, r_b, s_b, rs_b)
-
-
 class TpuProver:
     """Per-(pk, circuit-shape) prover; holds the device key mirror."""
 
@@ -507,17 +503,17 @@ class TpuProver:
         )
 
     def prove_batch(self, assignments, rs, ss) -> List[Proof]:
-        """B proofs in one vmapped device program (same circuit shape)."""
+        """B proofs through the vmapped witness-map/MSM programs (same
+        circuit shape), with the O(1) assembly tails on the HOST: one
+        device_get fetches all 5B accumulators, then each proof is ~5 ms
+        of exact bignum math (_host_assembly_np).  The round-4 device
+        assembly path vmapped ~1500 tiny double-and-add kernels per
+        proof and made the batch SLOWER than sequential proves
+        (BENCH_r04 per_proof_vs_single 1.244)."""
         rr = self.c.r
-        nbits = rr.bit_length()
         B = len(assignments)
         assert len(rs) == len(ss) == B
         z_b = jnp.stack([self.encode_assignment(a) for a in assignments])
-        r_b = jnp.stack([scalar_bits_array(r % rr, nbits) for r in rs])
-        s_b = jnp.stack([scalar_bits_array(s % rr, nbits) for s in ss])
-        rs_b = jnp.stack(
-            [scalar_bits_array(r * s % rr, nbits) for r, s in zip(rs, ss)]
-        )
         # the vmapped MSM multiplies every per-group buffer by B —
         # shrink the window-group HBM budget accordingly or a 16 GB
         # chip OOMs at B >= 4 x 2^16
@@ -525,10 +521,18 @@ class TpuProver:
 
         with configure(msm_group_bytes=max(1 << 28,
                                            CONFIG.msm_group_bytes // B)):
-            out = _prove_batch_phases(self.curve, self.dpk, z_b, r_b,
-                                      s_b, rs_b)
+            s4_b, rho_b = _witness_batch_jit(self.curve, self.dpk, z_b)
+            acc4_b = _msm_g1_batch_jit(self.curve, self.dpk, s4_b)
+            b2_b = _msm_g2_batch_jit(self.curve, self.dpk, rho_b)
+        acc4_np, b2_np = jax.device_get((acc4_b, b2_b))
         return [
-            decode_proof_arrays(self.curve, tuple(x[i] for x in out))
+            _host_assembly_np(
+                self.pk,
+                tuple(x[i] for x in acc4_np),
+                tuple(x[i] for x in b2_np),
+                rs[i] % rr,
+                ss[i] % rr,
+            )
             for i in range(B)
         ]
 

@@ -149,3 +149,95 @@ def witness_map_device(
     zg_inv = pow(zg, p - 2, p)
     ab = fp.mont_mul(spec, fp.sub(spec, ab, c), fp.const(spec, zg_inv, (1,)))
     return domain.coset_ifft(ab)
+
+
+# -- device QAP instance map (setup side) ---------------------------------------
+
+
+def encode_matrix_transposed(
+    m: FlatMatrix, fr: FpSpec, num_vars: int
+) -> DeviceMatrix:
+    """COLUMN-sorted encoding of a constraint matrix: segments per
+    VARIABLE, entry payload gathers by constraint ROW.  Feeding this to
+    sparse_matvec with z = the Lagrange-coefficient vector u computes
+    the setup's per-variable accumulation
+        a[var] = sum_i u_i(t) * coeff_{i,var}
+    (/root/reference/src/r1cs_to_qap.rs:157-167) with the exact same
+    segmented-scan kernel the prover uses for row sums."""
+    nnz = m.nnz
+    if nnz == 0:
+        return DeviceMatrix(
+            coeffs=jnp.asarray(encode([0], fr)),
+            cols=jnp.zeros((1,), jnp.int32),
+            seg_start=jnp.ones((1,), jnp.bool_),
+            end_idx=jnp.zeros((num_vars,), jnp.int32),
+            nonempty=jnp.zeros((num_vars,), jnp.bool_),
+            num_rows=num_vars,
+        )
+    order = np.argsort(m.cols, kind="stable")
+    cols_sorted = m.cols[order]
+    rows_sorted = m.rows[order].astype(np.int32)
+    coeffs_sorted = [m.coeffs[i] for i in order]
+    col_ptr = np.searchsorted(cols_sorted, np.arange(num_vars + 1))
+    nonempty = col_ptr[1:] > col_ptr[:-1]
+    end_idx = np.where(nonempty, col_ptr[1:] - 1, 0)
+    seg_start = np.zeros(nnz, dtype=bool)
+    seg_start[col_ptr[:-1][nonempty]] = True
+    return DeviceMatrix(
+        coeffs=jnp.asarray(encode(coeffs_sorted, fr)),
+        cols=jnp.asarray(rows_sorted),
+        seg_start=jnp.asarray(seg_start),
+        end_idx=jnp.asarray(end_idx.astype(np.int32)),
+        nonempty=jnp.asarray(nonempty),
+        num_rows=num_vars,
+    )
+
+
+def lagrange_coeffs_device(spec: FpSpec, domain: NttDomain, t: int) -> jnp.ndarray:
+    """All n Lagrange coefficients L_i(t) on device, Montgomery form.
+
+    Same O(n)-mulmod identity as the exact engine
+    (ref/domain.py evaluate_all_lagrange_coefficients): on the plain
+    radix-2 domain H = <w>, L_i(t) = (Z(t)/n) * x_i / (t - x_i) with
+    Z(t) = t^n - 1.  The denominators batch-invert in one Fermat
+    inverse + two product scans (fp.batch_inv).  Caller must ensure t
+    is OUTSIDE the domain (generator.rs:90 samples it so)."""
+    n = domain.size
+    p = spec.modulus
+    from groth16_tpu.ntt.ntt import powers
+
+    zt = (pow(t, n, p) - 1) % p
+    assert zt != 0, "t must be outside the domain"
+    c0 = zt * pow(n % p, p - 2, p) % p  # Z(t) / n
+    xs = powers(spec, domain.group_gen, n)  # [L, n] Montgomery
+    tm = jnp.broadcast_to(fp.const(spec, t, (1,)), xs.shape)
+    invd = fp.batch_inv(spec, fp.sub_strict(spec, tm, xs))
+    return fp.mont_mul(spec, fp.mul_const(spec, xs, c0), invd)
+
+
+def instance_map_device(
+    spec: FpSpec,
+    domain: NttDomain,
+    mats_t,  # dict a/b/c -> transposed DeviceMatrix (encode_matrix_transposed)
+    t: int,
+    num_instance: int,
+    num_constraints: int,
+):
+    """QAP instance map on device: per-variable a_i(t), b_i(t), c_i(t)
+    (r1cs_to_qap.rs:128-170) as Montgomery [L, num_vars] arrays.
+
+    Bit-identical to LibsnarkReduction.instance_map_with_evaluation
+    (tests/test_generator_device_qap.py); the input-consistency rows'
+    contribution u_{nc+j}(t) lands on the instance variables
+    (r1cs_to_qap.rs:150-155)."""
+    u = lagrange_coeffs_device(spec, domain, t)
+    a = sparse_matvec(spec, mats_t["a"], u)
+    b = sparse_matvec(spec, mats_t["b"], u)
+    c = sparse_matvec(spec, mats_t["c"], u)
+    a_inst = fp.add_strict(
+        spec,
+        a[:, :num_instance],
+        u[:, num_constraints : num_constraints + num_instance],
+    )
+    a = jnp.concatenate([a_inst, a[:, num_instance:]], axis=-1)
+    return a, b, c

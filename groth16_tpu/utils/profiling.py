@@ -123,9 +123,15 @@ def msm_work_point_adds(
     """Point-adds executed by one scatter-free Pippenger MSM: the
     suffix scan does n adds per window, the bucket tail ~2 per bucket
     (gv add + reduce level), the Horner combine window_bits doublings +
-    1 add per window.  Signed digits add one carry window and halve the
-    bucket count (pippenger.signed_window_digits)."""
-    windows = -(-scalar_bits // window_bits) + (1 if signed else 0)
+    1 add per window.  Signed digits halve the bucket count and add a
+    carry window only when window_bits divides scalar_bits
+    (pippenger.signed_num_windows)."""
+    if signed:
+        from groth16_tpu.msm.pippenger import signed_num_windows
+
+        windows = signed_num_windows(scalar_bits, window_bits)
+    else:
+        windows = -(-scalar_bits // window_bits)
     B = ((1 << (window_bits - 1)) + 1) if signed else (1 << window_bits)
     return windows * (n + 2 * B) + windows * (window_bits + 1)
 

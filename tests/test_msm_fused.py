@@ -134,3 +134,54 @@ def test_chooser_uses_path_dependent_bucket_cost(env):
     wide = choose_window_bits(1 << 16, sbits, signed=True, bucket_cost=4)
     narrow = choose_window_bits(1 << 16, sbits, signed=True, bucket_cost=50)
     assert wide > narrow
+
+
+def test_histogram_exact_inside_msm_program_large_B():
+    """Regression pin for the round-4 int8-dot miscompile
+    (msm/pippenger.py first_ge_histogram): an int8->int32 dot_general
+    variant of the histogram was CORRECT in isolation but produced
+    wrong bucket boundaries when fused into the full MSM program on the
+    v5e backend — silent wrong proofs.  The shipped kernel uses bf16
+    one-hots with fp32 accumulation (exact for per-chunk counts <=
+    2048 < 2^24).  This test reproduces the failing COMPOSITION shape:
+    the histogram computed inside one jitted program next to real MSM
+    work, at the B >= 2^11 bucket counts where the miscompile showed,
+    checked against searchsorted-on-sorted host truth.  If someone
+    "optimizes" the one-hots back to an integer dot, this fails on the
+    TPU backend before the prover does."""
+    import numpy as np
+
+    c = get_curve(CURVE)
+    g = codec.g1_ops(c)
+    ref = RefGroups(CURVE)
+    rng = random.Random(11)
+    n = 1 << 12
+    B = (1 << 12) + 1  # c=13 signed magnitudes
+    digits_np = np.asarray(
+        [[rng.randrange(B) for _ in range(n)] for _ in range(2)],
+        dtype=np.uint32,
+    )
+    digits = jnp.asarray(digits_np)
+    pts = [ref.g1_mul(ref.g1_sample(5), rng.randrange(1, c.r))
+           for _ in range(64)]
+    chosen = [pts[rng.randrange(len(pts))] for _ in range(n)]
+    P = tuple(x[..., None, :] for x in codec.g1_to_device(c, chosen))
+    fr = make_spec(c.r, name=f"{CURVE}.Fr")
+    s0 = [rng.randrange(c.r) for _ in range(n)]
+    S = jnp.asarray(encode(s0, fr, mont=False))[None]
+    sbits = c.r.bit_length()
+
+    @jax.jit
+    def combined(d, p, s):
+        # histogram co-resident with the MSM graph: the fusion context
+        # that broke the int8 variant
+        h = first_ge_histogram(d, B)
+        acc = msm_device_lanes(g, p, s, sbits, 13)
+        return h, acc
+
+    got, _ = jax.block_until_ready(combined(digits, P, S))
+    want = np.stack([
+        np.searchsorted(np.sort(row), np.arange(1, B), side="left")
+        for row in digits_np
+    ])
+    assert (np.asarray(got) == want).all()
