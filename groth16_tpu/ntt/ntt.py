@@ -37,6 +37,111 @@ def _jitted_ntt_core(spec: FpSpec):
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_ntt_core_tws(spec: FpSpec):
+    return jax.jit(functools.partial(_ntt_core_slices_tws, spec))
+
+
+# -- staged core: one compiled program PER BUTTERFLY STAGE ----------------------
+#
+# The monolithic 20-stage slice program miscompiles at n = 2^20 on the
+# TPU backend (first phase-B stage's twiddle multiply wrong in the last
+# 128-lane tile; n <= 2^19 fine; every isolated reproduction fine) —
+# same "correct in isolation, wrong under fusion" family as the int8
+# histogram dot (msm/pippenger.py).  Running each stage as its own
+# program sidesteps the fusion context entirely, compiles ~20 small
+# programs instead of one huge one, and costs only ~20 async dispatches
+# per transform.
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_a_jit(spec: FpSpec, n: int, s: int):
+    m = n >> s
+    h = m >> 1
+
+    def f(a, tw):
+        lead = a.shape[:-1]
+        nb = len(lead) - 1
+        x = a.reshape(lead + (n // m, m))
+        u = x[..., :h]
+        v = x[..., h:]
+        twr = tw.reshape(tw.shape[:1] + (1,) * (nb + 1) + (h,))
+        sum_ = fp.cond_sub(spec, u + v, spec.two_p_limbs)
+        diff = fp.mont_mul(spec, fp.sub(spec, u, v, k=2), twr)
+        return jnp.concatenate([sum_, diff], axis=-1).reshape(lead + (n,))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_b_jit(spec: FpSpec, n: int, m0: int, s0: int, s: int):
+    """Phase-B stage on the [.., m0, B] transposed storage (s >= s0)."""
+    B = n // m0
+    m = n >> s
+    h = m >> 1
+
+    def f(a, tw):
+        lead = a.shape[:-2]
+        nb = len(lead) - 1
+        x = a.reshape(lead + (m0 // m, m, B))
+        u = x[..., :h, :]
+        v = x[..., h:, :]
+        twr = tw.reshape(tw.shape[:1] + (1,) * (nb + 1) + (h, 1))
+        sum_ = fp.cond_sub(spec, u + v, spec.two_p_limbs)
+        diff = fp.mont_mul(spec, fp.sub(spec, u, v, k=2), twr)
+        return jnp.concatenate([sum_, diff], axis=-2).reshape(lead + (m0, B))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _to_b_jit(n: int, m0: int):
+    B = n // m0
+
+    def f(a):
+        lead = a.shape[:-1]
+        return jnp.swapaxes(a.reshape(lead + (B, m0)), -1, -2)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _from_b_bitrev_jit(n: int, m0: int):
+    B = n // m0
+
+    def f(a):
+        lead = a.shape[:-2]
+        flat = jnp.swapaxes(a, -1, -2).reshape(lead + (n,))
+        return _bitrev_last_fast(flat, n)
+
+    return jax.jit(f)
+
+
+def _ntt_core_staged(spec: FpSpec, a: jnp.ndarray, tws) -> jnp.ndarray:
+    """Host-driven staged pipeline: phase-A/phase-B split identical to
+    _ntt_core_slices_tws, but every stage is a separate compiled
+    program.  Top-level (non-traced) calls only."""
+    n = a.shape[-1]
+    log_n = n.bit_length() - 1
+    if log_n == 0:
+        return a
+    split = 0
+    for s in range(log_n):
+        m = n >> s
+        h = m >> 1
+        if h < _SPLIT_H and n // m >= _SPLIT_H:
+            break
+        split = s + 1
+        a = _stage_a_jit(spec, n, s)(a, tws[s])
+    if split == log_n:
+        return jax.jit(functools.partial(_bitrev_last_fast, n=n))(a)
+    m0 = n >> split
+    a = _to_b_jit(n, m0)(a)
+    for s in range(split, log_n):
+        a = _stage_b_jit(spec, n, m0, split, s)(a, tws[s])
+    return _from_b_bitrev_jit(n, m0)(a)
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_mul(spec: FpSpec):
     return jax.jit(functools.partial(fp.mont_mul, spec))
 
@@ -175,13 +280,39 @@ def _stage_twiddles(spec: FpSpec, root_powers: jnp.ndarray):
     """Per-DIF-stage twiddle vectors, sliced once from the n-entry power
     table: stage s (block m = n>>s, half h = m/2) multiplies its upper
     half by root^((q-h)*2^s), q-h in [0, h) — i.e. every 2^s-th power.
-    Total storage = sum_s h_s = n - 1 elements."""
+    Total storage = sum_s h_s = n - 1 elements.
+
+    TRAP (round 5): do NOT trace these strided slices into the same
+    program as the butterfly stages at large n.  At n = 2^20 on the TPU
+    backend the composition miscompiled: the first phase-B stage's
+    twiddle multiply produced wrong values in the last 128-lane tile
+    (exactly lanes [1920, 2048) x the diff half — 32768 wrong outputs),
+    while n <= 2^19 and every isolated reproduction of the same mul
+    were bit-exact.  The domain-level path therefore precomputes these
+    tables EAGERLY on the host (_stage_tws_cached) and passes them as
+    program inputs; this traced variant remains only for the small
+    local transforms inside par/ntt_cp.py's sharded four-step."""
     n = root_powers.shape[-1]
     out = []
     for s in range(n.bit_length() - 1):
         h = n >> (s + 1)
         out.append(root_powers[:, :: 1 << s][:, :h])
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tws_cached(spec: FpSpec, base: int, n: int):
+    """Concrete per-stage twiddle arrays for the slice core, built on
+    the HOST from the cached power table (one fetch + numpy slices +
+    per-stage uploads; a few hundred ms once per (field, root, n)).
+    Keeping these OUT of the compiled NTT program avoids the n = 2^20
+    strided-slice miscompile documented in _stage_twiddles."""
+    rp = np.asarray(powers(spec, base, n))
+    out = []
+    for s in range(n.bit_length() - 1):
+        h = n >> (s + 1)
+        out.append(jnp.asarray(np.ascontiguousarray(rp[:, :: 1 << s][:, :h])))
+    return tuple(out)
 
 
 def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.ndarray:
@@ -207,9 +338,19 @@ def _ntt_core(spec: FpSpec, a: jnp.ndarray, root_powers: jnp.ndarray) -> jnp.nda
     if not pallas_enabled():
         a = _ntt_core_gather(spec, a, root_powers)
         return jnp.take(a, jnp.asarray(_bitrev_perm(n)), axis=-1)
+    return _ntt_core_slices_tws(spec, a, _stage_twiddles(spec, root_powers))
+
+
+def _ntt_core_slices_tws(spec: FpSpec, a: jnp.ndarray, tws) -> jnp.ndarray:
+    """Slice-core body with the per-stage twiddles supplied by the
+    caller — either traced slices (_stage_twiddles, small n) or
+    host-prebuilt arrays (_stage_tws_cached, the domain path)."""
+    n = a.shape[-1]
+    log_n = n.bit_length() - 1
+    if log_n == 0:
+        return a
     lead = a.shape[:-1]
     nb = len(lead) - 1  # middle batch dims between limb and element axes
-    tws = _stage_twiddles(spec, root_powers)
 
     # Phase A — large blocks (half-block h wide enough to fill lane
     # tiles): butterflies slice the minor axis, viewed [.., blocks, m].
@@ -418,6 +559,19 @@ class NttDomain:
     def _core(self, a: jnp.ndarray, fwd: bool) -> jnp.ndarray:
         root_powers = self._fwd_powers if fwd else self._inv_powers
         if not self.radixes:
+            from groth16_tpu.config import pallas_enabled
+
+            if pallas_enabled() and not isinstance(a, jax.core.Tracer):
+                # top-level call: STAGED core — one compiled program
+                # per butterfly stage with host-prebuilt twiddles (the
+                # monolithic program miscompiled at n = 2^20, see
+                # _ntt_core_staged).  When `a` is a tracer (the fused
+                # witness program, capped at 2^18 where the monolithic
+                # core is known-good), staged dispatch is impossible,
+                # so the traced-slice core is kept there.
+                base = self.group_gen if fwd else self.group_gen_inv
+                tws = _stage_tws_cached(self.spec, base, self.size)
+                return _ntt_core_staged(self.spec, a, tws)
             return _jitted_ntt_core(self.spec)(a, root_powers)
         root = self.group_gen if fwd else self.group_gen_inv
         return _jitted_ntt_core_mixed(self.spec, self.radixes)(
