@@ -411,21 +411,6 @@ def _prove_jit(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _witness_batch_jit(curve, dpk, z_b):
-    return jax.vmap(lambda z: _witness_jit.__wrapped__(curve, dpk, z))(z_b)
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _msm_g1_batch_jit(curve, dpk, s4_b):
-    return jax.vmap(lambda s: _msm_g1_jit.__wrapped__(curve, dpk, s))(s4_b)
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _msm_g2_batch_jit(curve, dpk, rho_b):
-    return jax.vmap(lambda r: _msm_g2_jit.__wrapped__(curve, dpk, r))(rho_b)
-
-
 class TpuProver:
     """Per-(pk, circuit-shape) prover; holds the device key mirror."""
 
@@ -503,37 +488,42 @@ class TpuProver:
         )
 
     def prove_batch(self, assignments, rs, ss) -> List[Proof]:
-        """B proofs through the vmapped witness-map/MSM programs (same
-        circuit shape), with the O(1) assembly tails on the HOST: one
-        device_get fetches all 5B accumulators, then each proof is ~5 ms
-        of exact bignum math (_host_assembly_np).  The round-4 device
-        assembly path vmapped ~1500 tiny double-and-add kernels per
-        proof and made the batch SLOWER than sequential proves
-        (BENCH_r04 per_proof_vs_single 1.244)."""
+        """B proofs by PIPELINED ASYNC DISPATCH of the single-prove
+        programs (witness -> grouped G1 MSM -> G2 MSM per proof, all
+        enqueued before the first fence), then ONE device_get for all
+        5B accumulators and ~5 ms of host bignum assembly each
+        (_host_assembly_np).
+
+        Two earlier designs lost: the round-4 vmapped DEVICE assembly
+        was 1.244x sequential (BENCH_r04), and vmapped MSMs generally
+        must divide the window-group HBM budget by B, multiplying the
+        sequential group steps per MSM.  Async dispatch reuses the
+        already-compiled single-prove programs (no extra batch compile
+        at all), keeps the full HBM budget per MSM, and overlaps the
+        per-proof host encode/assembly with device compute of the
+        proofs in flight.  On one chip the MSM work itself scales with
+        B — batch parallelism beyond host-overlap belongs to the mesh
+        batch axis (par/batch_pp.prove_batch_sharded)."""
         rr = self.c.r
         B = len(assignments)
         assert len(rs) == len(ss) == B
-        z_b = jnp.stack([self.encode_assignment(a) for a in assignments])
-        # the vmapped MSM multiplies every per-group buffer by B —
-        # shrink the window-group HBM budget accordingly or a 16 GB
-        # chip OOMs at B >= 4 x 2^16
-        from groth16_tpu.config import CONFIG, configure
-
-        with configure(msm_group_bytes=max(1 << 28,
-                                           CONFIG.msm_group_bytes // B)):
-            s4_b, rho_b = _witness_batch_jit(self.curve, self.dpk, z_b)
-            acc4_b = _msm_g1_batch_jit(self.curve, self.dpk, s4_b)
-            b2_b = _msm_g2_batch_jit(self.curve, self.dpk, rho_b)
-        acc4_np, b2_np = jax.device_get((acc4_b, b2_b))
+        witness = (
+            _witness_fine
+            if self.dpk.domain.size > WITNESS_FUSED_MAX
+            else _witness_jit
+        )
+        accs = []
+        for z_host in assignments:
+            z = self.encode_assignment(z_host)
+            scalars_g, rho_std = witness(self.curve, self.dpk, z)
+            acc4 = _msm_g1_jit(self.curve, self.dpk, scalars_g)
+            b2 = _msm_g2_jit(self.curve, self.dpk, rho_std)
+            accs.append((acc4, b2))
+        fetched = jax.device_get(accs)
         return [
-            _host_assembly_np(
-                self.pk,
-                tuple(x[i] for x in acc4_np),
-                tuple(x[i] for x in b2_np),
-                rs[i] % rr,
-                ss[i] % rr,
-            )
-            for i in range(B)
+            _host_assembly_np(self.pk, acc4_np, b2_np, rs[i] % rr,
+                              ss[i] % rr)
+            for i, (acc4_np, b2_np) in enumerate(fetched)
         ]
 
 
