@@ -135,11 +135,22 @@ def _device_setup_scalars(
     zt = (pow(t, n, r) - 1) % r
     zt_dinv = zt * delta_inv % r
 
+    # The matrix tensors and the domain-element table MUST be traced
+    # ARGUMENTS, not closure captures: captured concrete arrays become
+    # inline constants of the compiled program, and at 2^20 that is a
+    # 162 MB MLIR blob that OOM-kills the server-side compile helper
+    # (observed round 5: "tpu_compile_helper subprocess exit signal
+    # SIGKILL").  As arguments they are runtime buffers and the program
+    # stays O(kB).
+    from groth16_tpu.ntt.ntt import powers
+
+    xs = powers(fr_spec, ndom.group_gen, n)
+
     @jax.jit
-    def build():
+    def build(mats_t, xs):
         a, b, cc = instance_map_device(
             fr_spec, ndom, mats_t, t, num_instance,
-            matrices.num_constraints,
+            matrices.num_constraints, xs=xs,
         )
         s = fp.add_strict(
             fr_spec,
@@ -159,7 +170,7 @@ def _device_setup_scalars(
         g1_m = jnp.concatenate([a, b, h, l, gabc], axis=-1)
         return fp.from_mont(fr_spec, g1_m), fp.from_mont(fr_spec, b)
 
-    g1_std, b_std = build()
+    g1_std, b_std = build(mats_t, xs)
     c3 = jnp.asarray(encode([alpha, beta, delta], fr_spec, mont=False))
     g1_std = jnp.concatenate([g1_std, c3], axis=-1)
     c3g2 = jnp.asarray(encode([beta, gamma, delta], fr_spec, mont=False))

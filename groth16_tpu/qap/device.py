@@ -193,7 +193,9 @@ def encode_matrix_transposed(
     )
 
 
-def lagrange_coeffs_device(spec: FpSpec, domain: NttDomain, t: int) -> jnp.ndarray:
+def lagrange_coeffs_device(
+    spec: FpSpec, domain: NttDomain, t: int, xs: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """All n Lagrange coefficients L_i(t) on device, Montgomery form.
 
     Same O(n)-mulmod identity as the exact engine
@@ -201,15 +203,23 @@ def lagrange_coeffs_device(spec: FpSpec, domain: NttDomain, t: int) -> jnp.ndarr
     radix-2 domain H = <w>, L_i(t) = (Z(t)/n) * x_i / (t - x_i) with
     Z(t) = t^n - 1.  The denominators batch-invert in one Fermat
     inverse + two product scans (fp.batch_inv).  Caller must ensure t
-    is OUTSIDE the domain (generator.rs:90 samples it so)."""
+    is OUTSIDE the domain (generator.rs:90 samples it so).
+
+    xs: optional precomputed domain-element table [L, n] (Montgomery).
+    Callers tracing this function MUST pass it as a traced argument:
+    fetching it via powers() mid-trace inlines an O(n*L) CONSTANT into
+    the program (162 MB of MLIR at 2^20 — the compile helper gets
+    OOM-killed; observed round 5)."""
     n = domain.size
     p = spec.modulus
-    from groth16_tpu.ntt.ntt import powers
 
     zt = (pow(t, n, p) - 1) % p
     assert zt != 0, "t must be outside the domain"
     c0 = zt * pow(n % p, p - 2, p) % p  # Z(t) / n
-    xs = powers(spec, domain.group_gen, n)  # [L, n] Montgomery
+    if xs is None:
+        from groth16_tpu.ntt.ntt import powers
+
+        xs = powers(spec, domain.group_gen, n)  # [L, n] Montgomery
     tm = jnp.broadcast_to(fp.const(spec, t, (1,)), xs.shape)
     invd = fp.batch_inv(spec, fp.sub_strict(spec, tm, xs))
     return fp.mont_mul(spec, fp.mul_const(spec, xs, c0), invd)
@@ -222,6 +232,7 @@ def instance_map_device(
     t: int,
     num_instance: int,
     num_constraints: int,
+    xs: jnp.ndarray | None = None,  # see lagrange_coeffs_device
 ):
     """QAP instance map on device: per-variable a_i(t), b_i(t), c_i(t)
     (r1cs_to_qap.rs:128-170) as Montgomery [L, num_vars] arrays.
@@ -230,7 +241,7 @@ def instance_map_device(
     (tests/test_generator_device_qap.py); the input-consistency rows'
     contribution u_{nc+j}(t) lands on the instance variables
     (r1cs_to_qap.rs:150-155)."""
-    u = lagrange_coeffs_device(spec, domain, t)
+    u = lagrange_coeffs_device(spec, domain, t, xs=xs)
     a = sparse_matvec(spec, mats_t["a"], u)
     b = sparse_matvec(spec, mats_t["b"], u)
     c = sparse_matvec(spec, mats_t["c"], u)
